@@ -1,0 +1,78 @@
+"""Stable, vectorized 64-bit hashing.
+
+All ids and blocking keys in the engine derive from these functions, so
+every run (and every resume) is byte-stable — the determinism requirement
+of SURVEY.md §7 ("no wall-clock or randomness inside operators"). The
+reference gets stable ids from Senzing's Postgres sequence; we get them
+from content hashes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+# pandas' SipHash-1-3 with its fixed default key — deterministic across
+# processes and platforms; vectorized in C over object/str arrays.
+_HASH_KEY = "0123456789123456"
+
+# Mersenne prime 2^61 - 1 for universal hashing (a*x + b mod p) — fits
+# products of 61-bit values in uint128-free numpy via Python-int-free
+# modular arithmetic on uint64 (we accept the tiny bias of mod on 64-bit
+# lanes; see minhash.py).
+MERSENNE_P = np.uint64((1 << 61) - 1)
+
+
+def hash_str_array(values, *, salt: str = "") -> np.ndarray:
+    """Hash an array-like of strings to uint64, deterministically.
+
+    Vectorized via ``pandas.util.hash_pandas_object`` (SipHash-1-3 with a
+    fixed key). ``salt`` lets callers derive independent hash families
+    (e.g. shingle hashing vs url ids) from the same inputs.
+    """
+    s = pd.Series(values, dtype="object")
+    if salt:
+        s = salt + s.astype(str)
+    out = pd.util.hash_pandas_object(s, index=False, hash_key=_HASH_KEY)
+    return out.to_numpy(dtype=np.uint64)
+
+
+def hash_u64_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Combine two uint64 arrays into one (order-sensitive mix).
+
+    A cheap splitmix-style finalizer over ``a * C1 ^ b`` — used to fold a
+    band id into a band hash, or to combine column hashes.
+    """
+    x = (a * np.uint64(0x9E3779B97F4A7C15) + b).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer over a uint64 array (stateless, vectorized)."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def sha256_hex(data: bytes | str) -> str:
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    return hashlib.sha256(data).hexdigest()
+
+
+def stable_rng(seed: int | str) -> np.random.Generator:
+    """A numpy Generator seeded deterministically from an int or string."""
+    if isinstance(seed, str):
+        seed = int.from_bytes(hashlib.sha256(seed.encode()).digest()[:8], "big")
+    return np.random.default_rng(np.uint64(seed))

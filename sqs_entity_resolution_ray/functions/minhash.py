@@ -1,0 +1,131 @@
+"""Vectorized MinHash over token shingles.
+
+This is the engine's candidate-generation primitive — the distributed
+replacement for Senzing's shared candidate index in Postgres (reference
+behavior implied by MATCH_KEYs in ``test/fixtures/flow-output.jsonl``;
+SURVEY.md §2.4 J2). Everything is numpy over flat arrays + offsets; no
+per-row Python in the hot path beyond tokenization itself.
+
+Permutations are true 64-bit bijections: ``x -> splitmix64(x ^ r_i)``
+(splitmix64 is invertible), so ``min`` over the permuted shingle set is a
+proper MinHash and ``P(sig_a[i] == sig_b[i]) = Jaccard(A, B)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import hash_str_array, hash_u64_pairs, splitmix64, stable_rng
+from .textnorm import tokenize
+
+
+def shingle_doc_hashes(
+    texts: list[str], k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Hash the k-token shingles of every text in one vectorized pass.
+
+    Returns ``(flat_shingle_hashes: uint64[N], offsets: int64[n+1])`` where
+    doc ``d`` owns ``flat[offsets[d]:offsets[d+1]]``. A doc with fewer than
+    ``k`` tokens contributes a single shingle: the hash of its full
+    normalized token string (so empty/short docs still participate).
+    """
+    n = len(texts)
+    tok_lists = [tokenize(t) if t else [] for t in texts]
+    tok_counts = np.fromiter((len(ts) for ts in tok_lists), dtype=np.int64, count=n)
+
+    flat_tokens: list[str] = []
+    for ts in tok_lists:
+        flat_tokens.extend(ts)
+
+    out_chunks: list[np.ndarray] = []
+    counts = np.zeros(n, dtype=np.int64)
+
+    if flat_tokens:
+        th = hash_str_array(flat_tokens, salt="shingle")
+        tok_offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(tok_counts, out=tok_offsets[1:])
+        total = len(th)
+        if total >= k:
+            # rolling combine of k consecutive token hashes over the flat
+            # array; then mask out windows that cross a doc boundary
+            m = total - k + 1
+            acc = th[:m].copy()
+            for j in range(1, k):
+                acc = hash_u64_pairs(acc, th[j : m + j])
+            pos_doc = np.repeat(np.arange(n, dtype=np.int64), tok_counts)
+            valid = pos_doc[:m] == pos_doc[k - 1 :]
+            sh = acc[valid]
+            sh_doc = pos_doc[:m][valid]
+            counts = np.bincount(sh_doc, minlength=n).astype(np.int64)
+            out_chunks.append(sh)
+            # re-order flat shingles grouped by doc (they already are:
+            # valid positions are in doc order because pos_doc is sorted)
+    # fallback single shingle for docs with zero shingles
+    short = np.flatnonzero(counts == 0)
+    if len(short):
+        fallback = hash_str_array(
+            [" ".join(tok_lists[i]) for i in short], salt="shingle-short"
+        )
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    final_counts = np.where(counts == 0, 1, counts)
+    np.cumsum(final_counts, out=offsets[1:])
+    flat = np.empty(offsets[-1], dtype=np.uint64)
+    if out_chunks:
+        # scatter the doc-grouped shingles into the final layout: docs
+        # appear in the same order in both, only short-doc gaps shift runs
+        sh = out_chunks[0]
+        nonshort = np.flatnonzero(counts > 0)
+        if len(nonshort):
+            lens = counts[nonshort]
+            src_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            dst_starts = offsets[nonshort]
+            idx = np.repeat(dst_starts - src_starts, lens) + np.arange(int(lens.sum()))
+            flat[idx] = sh
+    for j, i in enumerate(short):
+        flat[offsets[i]] = fallback[j]
+    return flat, offsets
+
+
+def minhash_signatures(
+    flat: np.ndarray, offsets: np.ndarray, num_perm: int, seed: int = 42
+) -> np.ndarray:
+    """MinHash signatures ``uint64[n, num_perm]`` from flat shingles.
+
+    One vectorized pass per permutation: bijective mix then
+    ``np.minimum.reduceat`` over doc segments. Requires every doc to own
+    ≥1 shingle (guaranteed by :func:`shingle_doc_hashes`).
+    """
+    n = len(offsets) - 1
+    rng = stable_rng(seed)
+    rs = rng.integers(0, 2**64, size=num_perm, dtype=np.uint64)
+    sig = np.empty((n, num_perm), dtype=np.uint64)
+    if n == 0:
+        return sig
+    starts = offsets[:-1]
+    for i in range(num_perm):
+        y = splitmix64(flat ^ rs[i])
+        sig[:, i] = np.minimum.reduceat(y, starts)
+    return sig
+
+
+def band_keys(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """LSH band keys ``uint64[n, bands]``.
+
+    Each band key combines that band's ``rows`` signature values plus the
+    band id, so identical row-groups in different bands never collide into
+    one block.
+    """
+    n, p = sig.shape
+    assert bands * rows == p, (bands, rows, p)
+    out = np.empty((n, bands), dtype=np.uint64)
+    for b in range(bands):
+        acc = np.full(n, np.uint64(b + 1), dtype=np.uint64)
+        for r in range(rows):
+            acc = hash_u64_pairs(acc, sig[:, b * rows + r])
+        out[:, b] = acc
+    return out
+
+
+def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
+    """Estimated Jaccard per pair: fraction of equal signature slots."""
+    return (sig_a == sig_b).mean(axis=1).astype(np.float64)

@@ -1,0 +1,202 @@
+"""Transitive clustering: distributed hash-min label propagation.
+
+The Ray analogue of the reference's redo loop (``middleware/redoer.py:
+90-212``): Senzing reaches order-insensitive convergence by re-resolving
+records until its redo queue drains; we reach the same fixpoint by
+repeating min-label propagation rounds until no label changes (SURVEY.md
+§2.8 / P-2). Connected components over groupby/aggregate rounds converge
+in O(diameter) rounds (cf. the ICDE'13 log-round map-reduce CC bound,
+PAPERS.md); near-duplicate components are shallow, and our salted block
+chunking bounds chain length.
+
+Two execution paths, same semantics:
+- ``distributed``: per-round hash join (edge ⋈ labels) + groupby-min,
+  fixpoint detected by counting changed labels — scales to edge sets
+  that don't fit the driver.
+- ``driver``: union-find on collected edges — O(E α(E)), used
+  automatically when the edge count is small (the common case after
+  LSH + scoring, where edges ≈ matched near-dup pairs only).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..config import effective_concurrency, effective_partitions, PipelineConfig
+from ..functions.hashing import hash_str_array
+
+DRIVER_CC_MAX_EDGES = 2_000_000
+
+
+def node_ids(urls: list[str]) -> np.ndarray:
+    """Deterministic 63-bit node ids (int64, non-negative).
+
+    63 bits, not 64: several shuffle backends round-trip values through
+    Python ints + int64 Arrow inference, which overflows on uint64.
+    """
+    h = hash_str_array(urls, salt="node")
+    return (h & np.uint64((1 << 63) - 1)).astype(np.int64)
+
+
+def _label_table(urls: list[str] | np.ndarray, labels: np.ndarray) -> pa.Table:
+    return pa.table(
+        {"url": pa.array(urls, pa.string()), "label": pa.array(labels, pa.int64())}
+    )
+
+
+def _driver_union_find(nodes_df: pd.DataFrame, edges_df: pd.DataFrame) -> pd.DataFrame:
+    """Union-find on the driver. nodes: (url, node_id); edges: (url_a, url_b)."""
+    urls = nodes_df["url"].to_numpy()
+    index = {u: i for i, u in enumerate(urls)}
+    parent = np.arange(len(urls), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(edges_df["url_a"], edges_df["url_b"]):
+        ia, ib = index.get(a), index.get(b)
+        if ia is None or ib is None:
+            continue
+        ra, rb = find(ia), find(ib)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = np.fromiter((find(i) for i in range(len(urls))), dtype=np.int64,
+                        count=len(urls))
+    node_ids = nodes_df["node_id"].to_numpy()
+    # label of a component = min node_id over members (deterministic)
+    df = pd.DataFrame({"root": roots, "node_id": node_ids})
+    comp_label = df.groupby("root")["node_id"].transform("min")
+    return pd.DataFrame({"url": urls, "label": comp_label.to_numpy()})
+
+
+def connected_components(
+    nodes, edges, cfg: PipelineConfig | None = None, algorithm: str = "auto"
+):
+    """nodes(url) + edges(url_a, url_b) → labels Dataset (url, label: uint64).
+
+    ``label`` is the min url-hash over the component — deterministic and
+    stable across runs/resumes (no engine-assigned sequence ids, unlike
+    Senzing's ENTITY_ID from its Postgres sequence).
+    """
+    cfg = cfg or PipelineConfig()
+    edge_count = edges.count()
+    if algorithm == "auto":
+        algorithm = "driver" if edge_count <= DRIVER_CC_MAX_EDGES else "distributed"
+
+    if algorithm == "driver":
+        nodes_df = nodes.select_columns(["url"]).to_pandas()
+        nodes_df["node_id"] = node_ids(nodes_df["url"].tolist())
+        edges_df = (
+            edges.select_columns(["url_a", "url_b"]).to_pandas()
+            if edge_count
+            else pd.DataFrame({"url_a": [], "url_b": []})
+        )
+        out = _driver_union_find(nodes_df, edges_df)
+        out["label"] = out["label"].astype(np.int64)
+        return rd.from_pandas(out)
+
+    return _distributed_cc(nodes, edges, cfg)
+
+
+def _init_labels(batch: pa.Table) -> pa.Table:
+    urls = batch.column("url").to_pylist()
+    return _label_table(urls, node_ids(urls))
+
+
+def _distributed_cc(nodes, edges, cfg: PipelineConfig):
+    """Hash-min label propagation to fixpoint via join + groupby-min."""
+    from ray.data.aggregate import Count, Min
+
+    n_part = effective_partitions(cfg)
+    labels = nodes.select_columns(["url"]).map_batches(
+        _init_labels, batch_format="pyarrow"
+    ).materialize()
+
+    # both directions once; static for all rounds
+    fwd = edges.select_columns(["url_a", "url_b"])
+    rev = fwd.rename_columns({"url_a": "url_b", "url_b": "url_a"}).select_columns(
+        ["url_a", "url_b"]
+    )  # normalize column ORDER so union blocks share one schema
+    directed = fwd.union(rev).materialize()  # (url_a=src, url_b=dst)
+
+    for _round in range(cfg.max_cc_rounds):
+        # candidate labels for dst = current label of src
+        msgs = directed.join(
+            labels.rename_columns({"url": "url_a"}),
+            join_type="inner",
+            num_partitions=n_part,
+            on=("url_a",),
+        ).select_columns(["url_b", "label"]).rename_columns({"url_b": "url"})
+        new_labels = (
+            labels.select_columns(["url", "label"]).union(
+                msgs.select_columns(["url", "label"]))
+            .groupby("url")
+            .aggregate(Min("label", alias_name="label"))
+        ).materialize()
+        # fixpoint check: count rows whose label shrank
+        cmp = new_labels.rename_columns({"label": "new_label"}).join(
+            labels,
+            join_type="inner",
+            num_partitions=n_part,
+            on=("url",),
+        )
+        changed = cmp.map_batches(
+            lambda t: pa.table(
+                {
+                    "c": pa.array(
+                        [
+                            int(
+                                pa.compute.sum(
+                                    pa.compute.not_equal(
+                                        t.column("new_label"), t.column("label")
+                                    )
+                                ).as_py()
+                                or 0
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum("c")
+        labels = new_labels
+        if not changed:
+            break
+    return labels
+
+
+def clusters_with_size(labels, cfg: PipelineConfig | None = None):
+    """labels(url, label) → (url, entity_id: string, cluster_size: int64).
+
+    entity_id = zero-padded hex of the component label (deterministic).
+    """
+    from ray.data.aggregate import Count
+
+    cfg = cfg or PipelineConfig()
+    sizes = labels.groupby("label").aggregate(Count(alias_name="cluster_size"))
+    joined = labels.join(
+        sizes, join_type="inner", num_partitions=effective_partitions(cfg),
+        on=("label",),
+    )
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        lab = batch.column("label").to_numpy(zero_copy_only=False)
+        ids = [f"e{int(x):016x}" for x in lab]
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "entity_id": pa.array(ids, pa.string()),
+                "cluster_size": batch.column("cluster_size").cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(fmt, batch_format="pyarrow")

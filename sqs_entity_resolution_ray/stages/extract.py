@@ -1,0 +1,109 @@
+"""Extraction + profiling stages (pure ``map_batches`` over Arrow).
+
+Replaces the reference's per-message ``json.loads`` + Senzing feature
+normalization (``middleware/consumer.py:177-197``; normalization behavior
+visible in ``test/fixtures/flow-output.jsonl:1-2``) with vectorized batch
+transforms. The ``html`` binary column never survives past extraction and
+never crosses a shuffle (SURVEY.md §7 "wide rows").
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import MatchConfig
+from ..functions.html_extract import EXTRACTOR_VERSION, extract_text, extract_title
+from ..functions.minhash import band_keys, minhash_signatures, shingle_doc_hashes
+from ..functions.simhash import simhash_from_shingles
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """pages(url, warc_ts, html, lang) → extracted(url, warc_ts, lang,
+    extracted_text, title, text_sha256). Drops ``html``.
+
+    The regex extractor itself is per-document Python (HTML structure is
+    not expressible as an Arrow kernel); everything around it is Arrow.
+    """
+    htmls = batch.column("html").to_pylist()
+    texts = [extract_text(h) for h in htmls]
+    titles = [extract_title(h) for h in htmls]
+    shas = [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts]
+    return pa.table(
+        {
+            "url": batch.column("url"),
+            "warc_ts": batch.column("warc_ts"),
+            "lang": batch.column("lang"),
+            "extracted_text": pa.array(texts, pa.string()),
+            "title": pa.array(titles, pa.string()),
+            "text_sha256": pa.array(shas, pa.string()),
+        }
+    )
+
+
+class ProfileBatch:
+    """extracted → narrow matching profile; drops the text.
+
+    Emits per row: url, warc_ts, lang, title, n_tokens, simhash,
+    ``sig`` (num_perm little-endian uint64s as one binary blob) and
+    ``bands`` (lsh_bands uint64 band keys as one binary blob).
+
+    A callable class so the (cheap) config unpack happens once per actor;
+    the real reason it is actor-shaped is SURVEY.md §2.3 T1 — the
+    reference builds one Senzing engine per worker process
+    (``consumer.py:151-163``); our per-worker state is the seeded
+    permutation family, implicit in the seed.
+    """
+
+    def __init__(self, match_cfg: MatchConfig | None = None, seed: int = 42):
+        self.mc = match_cfg or MatchConfig()
+        self.seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mc = self.mc
+        texts = batch.column("extracted_text").to_pylist()
+        flat, offsets = shingle_doc_hashes(texts, mc.shingle_k)
+        sig = minhash_signatures(flat, offsets, mc.num_perm, seed=self.seed)
+        bands = band_keys(sig, mc.lsh_bands, mc.lsh_rows)
+        sh = simhash_from_shingles(flat, offsets)
+        n_tokens = np.diff(offsets).astype(np.int32)  # ≈ token count (shingles+k-1)
+        sig_bytes = [row.astype("<u8").tobytes() for row in sig]
+        band_bytes = [row.astype("<u8").tobytes() for row in bands]
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "warc_ts": batch.column("warc_ts"),
+                "lang": batch.column("lang"),
+                "title": batch.column("title"),
+                "n_tokens": pa.array(n_tokens, pa.int32()),
+                "simhash": pa.array(sh.astype(np.uint64), pa.uint64()),
+                "sig": pa.array(sig_bytes, pa.binary()),
+                "bands": pa.array(band_bytes, pa.binary()),
+            }
+        )
+
+
+def dedup_profiles_by_url(profiles):
+    """Input upsert semantics: per url keep the max-``warc_ts`` row.
+
+    The reference's ``add_record`` with an existing (DATA_SOURCE,
+    RECORD_ID) replaces the record (``README.md:222-228``); for us the
+    last fetch of a url wins. Runs AFTER profiling so only narrow profile
+    rows cross the shuffle — never html or text.
+    """
+    def keep_latest(group: pa.Table) -> pa.Table:
+        if group.num_rows == 1:
+            return group
+        # deterministic even when warc_ts ties: break on simhash
+        order = pa.compute.sort_indices(
+            group,
+            sort_keys=[("warc_ts", "descending"), ("simhash", "descending")],
+        )
+        return group.take(order[:1])
+
+    return profiles.groupby("url").map_groups(keep_latest, batch_format="pyarrow")
+
+
+EXTRACT_STAGE_VERSION = EXTRACTOR_VERSION

@@ -1,0 +1,92 @@
+"""Entity report assembly (SURVEY.md §2.5 A4).
+
+Reproduces the shape of the reference's resolved-entity report — one
+nested row per entity with member records, per-record match explanation
+and aggregated features (``test/fixtures/flow-output.jsonl:1``:
+``RESOLVED_ENTITY{ENTITY_ID, FEATURES, RECORDS[{RECORD_ID, MATCH_KEY,
+...}]}``) — via ``groupby(entity_id).map_groups``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import effective_concurrency, effective_partitions, PipelineConfig
+
+
+def best_scores(edges):
+    """edges(url_a, url_b, score) → (url, best_score) per member url."""
+    from ray.data.aggregate import Max
+
+    a = edges.select_columns(["url_a", "score"]).rename_columns({"url_a": "url"})
+    b = edges.select_columns(["url_b", "score"]).rename_columns({"url_b": "url"})
+    return a.union(b).groupby("url").aggregate(Max("score", alias_name="best_score"))
+
+
+RECORD_STRUCT = pa.struct(
+    [
+        ("url", pa.string()),
+        ("score", pa.float32()),
+        ("match_key", pa.string()),
+    ]
+)
+
+REPORT_SCHEMA = pa.schema(
+    [
+        ("entity_id", pa.string()),
+        ("cluster_size", pa.int32()),
+        ("records", pa.list_(RECORD_STRUCT)),
+        ("features", pa.map_(pa.string(), pa.list_(pa.string()))),
+    ]
+)
+
+
+def _build_entity(group: pa.Table) -> pa.Table:
+    urls = group.column("url").to_pylist()
+    order = np.argsort(urls)
+    urls = [urls[i] for i in order]
+    scores = group.column("best_score").to_pylist() if "best_score" in group.column_names else [None] * len(urls)
+    scores = [scores[i] for i in order]
+    titles = group.column("title").to_pylist()
+    titles = [titles[i] for i in order]
+    langs = group.column("lang").to_pylist()
+    langs = [langs[i] for i in order]
+    records = [
+        {
+            "url": u,
+            "score": float(s) if s is not None else 0.0,
+            # MATCH_KEY analogue (reference flow-output.jsonl:1 e.g.
+            # "+NAME+DOB+PHONE"): which signals joined this record
+            "match_key": "+MINHASH+SIMHASH" if s is not None else "",
+        }
+        for u, s in zip(urls, scores)
+    ]
+    features = [
+        ("TITLE", sorted({t for t in titles if t})),
+        ("LANG", sorted({l for l in langs if l})),
+    ]
+    return pa.table(
+        {
+            "entity_id": pa.array([group.column("entity_id")[0].as_py()], pa.string()),
+            "cluster_size": pa.array([len(urls)], pa.int32()),
+            "records": pa.array([records], pa.list_(RECORD_STRUCT)),
+            "features": pa.array([features], pa.map_(pa.string(), pa.list_(pa.string()))),
+        }
+    )
+
+
+def entity_report(clusters, profiles, edges, cfg: PipelineConfig | None = None):
+    """clusters + profiles + edges → nested entity report Dataset."""
+    cfg = cfg or PipelineConfig()
+    n_part = effective_partitions(cfg)
+    meta = profiles.select_columns(["url", "title", "lang"])
+    enriched = clusters.join(meta, join_type="inner", num_partitions=n_part,
+                             on=("url",))
+    scores = best_scores(edges)
+    enriched = enriched.join(
+        scores, join_type="left_outer", num_partitions=n_part, on=("url",)
+    )
+    return enriched.groupby("entity_id").map_groups(
+        _build_entity, batch_format="pyarrow"
+    )

@@ -1,0 +1,137 @@
+"""Pairwise scoring: profile join + stateful actor-pool scorer.
+
+Analogue of the reference's per-record Senzing scoring call
+(``middleware/consumer.py:188`` — ``add_record`` → match decision inside
+the engine). The engine-per-process pattern (``consumer.py:151-163``:
+one ``SzAbstractFactoryCore`` per worker, created at startup) maps to a
+Ray actor pool: scorer state is built once per actor in ``__init__``,
+batches of pairs are scored vectorized in ``__call__``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import effective_concurrency, effective_partitions, MatchConfig, PipelineConfig
+from ..functions.simhash import hamming64
+from ..functions.strsim import batch_jaro_winkler
+
+
+def attach_profiles(pairs, profiles, cfg: PipelineConfig):
+    """Hash-join the narrow profile columns onto both sides of each pair.
+
+    Two hash-shuffle joins (Ray ``Dataset.join``). Profiles are narrow
+    (url, sig, simhash, n_tokens, title) — the html/text never reaches
+    here. At 100 TB the pair list after LSH is orders of magnitude
+    smaller than the input, so the joins shuffle the profile table twice
+    plus the pair list — far cheaper than carrying signatures through
+    the band-shuffle (8·num_perm bytes × lsh_bands per doc).
+    """
+    side = profiles.select_columns(["url", "sig", "simhash", "n_tokens", "title"])
+    a = side.rename_columns(
+        {"url": "url_a", "sig": "sig_a", "simhash": "simhash_a",
+         "n_tokens": "n_tokens_a", "title": "title_a"}
+    )
+    b = side.rename_columns(
+        {"url": "url_b", "sig": "sig_b", "simhash": "simhash_b",
+         "n_tokens": "n_tokens_b", "title": "title_b"}
+    )
+    n_part = effective_partitions(cfg)
+    joined = pairs.join(a, join_type="inner", num_partitions=n_part, on=("url_a",))
+    joined = joined.join(b, join_type="inner", num_partitions=n_part, on=("url_b",))
+    return joined
+
+
+class PairScorer:
+    """Actor-pool batch scorer over joined candidate pairs.
+
+    score = w_jaccard · est_jaccard(sig_a, sig_b)
+          + w_simhash · (1 − hamming(simhash_a, simhash_b)/64)
+          + w_length  · min(n_tokens)/max(n_tokens)
+    (+ optional w_title_jw · JaroWinkler(title_a, title_b))
+
+    est_jaccard is an unbiased MinHash estimate; with num_perm=128 its
+    σ ≈ 0.044 at J=0.5, and the corpus separation (negatives ≤0.08,
+    positives ≥0.45) leaves >8σ margin to the threshold.
+    """
+
+    def __init__(self, match_cfg: MatchConfig | None = None):
+        self.mc = match_cfg or MatchConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mc = self.mc
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "url_a": pa.array([], pa.string()),
+                    "url_b": pa.array([], pa.string()),
+                    "est_jaccard": pa.array([], pa.float64()),
+                    "simhash_hd": pa.array([], pa.int32()),
+                    "len_ratio": pa.array([], pa.float64()),
+                    "score": pa.array([], pa.float64()),
+                    "is_match": pa.array([], pa.bool_()),
+                    "block_size": pa.array([], pa.int32()),
+                }
+            )
+        p = mc.num_perm
+        sig_a = np.frombuffer(
+            b"".join(batch.column("sig_a").to_pylist()), dtype="<u8"
+        ).reshape(n, p)
+        sig_b = np.frombuffer(
+            b"".join(batch.column("sig_b").to_pylist()), dtype="<u8"
+        ).reshape(n, p)
+        ej = (sig_a == sig_b).mean(axis=1)
+        hd = hamming64(
+            batch.column("simhash_a").to_numpy(zero_copy_only=False),
+            batch.column("simhash_b").to_numpy(zero_copy_only=False),
+        ).astype(np.int32)
+        na = batch.column("n_tokens_a").to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch.column("n_tokens_b").to_numpy(zero_copy_only=False).astype(np.float64)
+        len_ratio = np.minimum(na, nb) / np.maximum(np.maximum(na, nb), 1.0)
+        score = (
+            mc.w_jaccard * ej
+            + mc.w_simhash * (1.0 - hd / 64.0)
+            + mc.w_length * len_ratio
+        )
+        if mc.w_title_jw > 0:
+            jw = batch_jaro_winkler(
+                batch.column("title_a").to_pylist(),
+                batch.column("title_b").to_pylist(),
+            )
+            score = score + mc.w_title_jw * jw
+        return pa.table(
+            {
+                "url_a": batch.column("url_a"),
+                "url_b": batch.column("url_b"),
+                "est_jaccard": pa.array(ej, pa.float64()),
+                "simhash_hd": pa.array(hd, pa.int32()),
+                "len_ratio": pa.array(len_ratio, pa.float64()),
+                "score": pa.array(score, pa.float64()),
+                "is_match": pa.array(score >= mc.threshold, pa.bool_()),
+                "block_size": batch.column("block_size"),
+            }
+        )
+
+
+def score_pairs(pairs, profiles, match_cfg: MatchConfig, cfg: PipelineConfig):
+    """pairs ⋈ profiles → scored pair Dataset (actor pool)."""
+    joined = attach_profiles(pairs, profiles, cfg)
+    return joined.map_batches(
+        PairScorer,
+        fn_constructor_kwargs={"match_cfg": match_cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.scorer_batch_size,
+        concurrency=effective_concurrency(cfg),
+    )
+
+
+def matched_edges(scored):
+    """Filter to matches and project the edge list (+score for reports)."""
+    return scored.map_batches(
+        lambda t: t.filter(t.column("is_match")).select(
+            ["url_a", "url_b", "score"]
+        ),
+        batch_format="pyarrow",
+    )

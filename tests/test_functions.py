@@ -1,0 +1,108 @@
+"""Unit tests for the pure kernels (no Ray needed)."""
+
+import numpy as np
+import pytest
+
+from sqs_entity_resolution_ray.functions.hashing import (
+    hash_str_array,
+    hash_u64_pairs,
+    splitmix64,
+)
+from sqs_entity_resolution_ray.functions.minhash import (
+    band_keys,
+    est_jaccard,
+    minhash_signatures,
+    shingle_doc_hashes,
+)
+from sqs_entity_resolution_ray.functions.simhash import hamming64, simhash_from_shingles
+from sqs_entity_resolution_ray.functions.strsim import (
+    jaro_winkler,
+    levenshtein,
+    levenshtein_ratio,
+    token_jaccard,
+)
+from sqs_entity_resolution_ray.functions.textnorm import (
+    normalize_date,
+    normalize_name,
+    normalize_phone,
+    tokenize,
+)
+
+
+def test_hash_deterministic():
+    a = hash_str_array(["x", "y", "x"])
+    b = hash_str_array(["x", "y", "x"])
+    assert np.array_equal(a, b)
+    assert a[0] == a[2] and a[0] != a[1]
+    # salted family is independent
+    c = hash_str_array(["x", "y", "x"], salt="other")
+    assert not np.array_equal(a, c)
+
+
+def test_splitmix_bijective_sample():
+    xs = np.arange(1000, dtype=np.uint64)
+    ys = splitmix64(xs)
+    assert len(np.unique(ys)) == 1000
+
+
+def test_shingles_layout():
+    texts = ["a b c d e", "a b", ""]
+    flat, off = shingle_doc_hashes(texts, 3)
+    assert list(np.diff(off)) == [3, 1, 1]  # 5 tokens → 3 shingles; short docs → 1
+    # shared shingles across docs hash equal
+    flat2, off2 = shingle_doc_hashes(["a b c d e", "x a b c d"], 3)
+    s1 = set(flat2[off2[0]:off2[1]].tolist())
+    s2 = set(flat2[off2[1]:off2[2]].tolist())
+    assert len(s1 & s2) == 2  # "a b c", "b c d"
+
+
+def test_minhash_jaccard_estimate():
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(300)]
+    t1 = " ".join(words)
+    t2 = " ".join(words[:150] + [f"z{i}" for i in range(150)])
+    flat, off = shingle_doc_hashes([t1, t2, t1], 3)
+    sig = minhash_signatures(flat, off, 256)
+    ej_same = est_jaccard(sig[0:1], sig[2:3])[0]
+    ej_half = est_jaccard(sig[0:1], sig[1:2])[0]
+    assert ej_same == 1.0
+    assert 0.2 < ej_half < 0.6  # true J ≈ 148/452 ≈ 0.33
+
+
+def test_band_keys_fold_band_id():
+    flat, off = shingle_doc_hashes(["hello world one two three four"], 3)
+    sig = minhash_signatures(flat, off, 8)
+    bk = band_keys(sig, 4, 2)
+    assert bk.shape == (1, 4)
+    assert len(set(bk[0].tolist())) == 4  # distinct per band even if rows equal
+
+
+def test_simhash_close_far():
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "the quick brown fox jumps over the lazy dog again and again tonight",
+        "entirely unrelated database query optimizer statistics join order",
+    ]
+    flat, off = shingle_doc_hashes(texts, 3)
+    sh = simhash_from_shingles(flat, off)
+    assert hamming64(sh[0:1], sh[1:2])[0] < hamming64(sh[0:1], sh[2:3])[0]
+
+
+def test_strsim():
+    assert jaro_winkler("MARTHA", "MARHTA") == pytest.approx(0.9611, abs=1e-3)
+    assert jaro_winkler("abc", "abc") == 1.0
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("abc", "zzzzzzzz", max_dist=2) == 3  # bounded overflow
+    assert levenshtein_ratio("", "") == 1.0
+    assert token_jaccard({"a", "b"}, {"b", "c"}) == pytest.approx(1 / 3)
+
+
+def test_textnorm():
+    assert tokenize("Héllo,  World!") == ["héllo", "world"]
+    assert normalize_phone("+1 (702) 555-1212") == "7025551212"
+    assert normalize_date("Mar 1 1970") == "1970-03-01"
+    assert normalize_date("3/1/70") == "1970-03-01"
+    assert normalize_date("12/11/1978") == "1978-12-11"
+    assert normalize_date("1978-12-11") == "1978-12-11"
+    assert normalize_date("not a date") == ""
+    assert normalize_name("  smith,  JOHN q.") == "SMITH JOHN Q"

@@ -1,0 +1,86 @@
+"""E2E gates: pairwise F1 ≥ 0.99 + cluster equivalence (north rule).
+
+Analogue of the reference's golden-count E2E
+(``test/test_flow.py:82-91``: 120 records → 74 entities), strengthened to
+content-aware set-of-frozensets comparison (we're deterministic; Senzing
+ids aren't, which is why the reference only compares line counts).
+"""
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+from tests.conftest import cluster_partition
+
+
+def pairwise_f1(clusters: pd.DataFrame, labeled: pd.DataFrame) -> tuple[float, float, float]:
+    m = clusters.set_index("url")["entity_id"]
+    pred = labeled["url_a"].map(m) == labeled["url_b"].map(m)
+    tp = int((pred & labeled.is_match).sum())
+    fp = int((pred & ~labeled.is_match).sum())
+    fn = int((~pred & labeled.is_match).sum())
+    prec = tp / max(tp + fp, 1)
+    rec = tp / max(tp + fn, 1)
+    return prec, rec, 2 * prec * rec / max(prec + rec, 1e-12)
+
+
+def test_pairwise_f1_gate(resolved, corpus):
+    _, clusters = resolved
+    labeled = pq.read_table(corpus + "/labeled_pairs.parquet").to_pandas()
+    prec, rec, f1 = pairwise_f1(clusters, labeled)
+    assert f1 >= 0.99, (prec, rec, f1)
+
+
+def test_cluster_equivalence(resolved, corpus):
+    _, clusters = resolved
+    truth = pq.read_table(corpus + "/expected_clusters.parquet").to_pandas()
+    assert cluster_partition(clusters, "entity_id") == cluster_partition(
+        truth, "entity_id"
+    )
+
+
+def test_template_farm_is_one_entity(resolved, corpus):
+    """The engineered hot block (SURVEY.md §4.1 skew) must still resolve
+    into a single entity despite salted block splitting."""
+    _, clusters = resolved
+    farm = clusters[clusters["url"].str.startswith("https://shop.example.net/")]
+    assert len(farm) > 0
+    assert farm["entity_id"].nunique() == 1
+
+
+def test_upsert_dedup(resolved, corpus):
+    """Duplicate urls (different warc_ts) collapse to one row — the
+    reference's add_record replace semantics (README.md:222-228)."""
+    _, clusters = resolved
+    assert clusters["url"].is_unique
+    pages = pq.read_table(corpus + "/pages.parquet", columns=["url"]).to_pandas()
+    assert len(clusters) == pages["url"].nunique()
+
+
+def test_entity_ids_deterministic(resolved, corpus, ray_session):
+    """Re-running the pipeline yields byte-identical cluster ids."""
+    from sqs_entity_resolution_ray.pipelines.resolve import read_pages, resolve
+
+    _, clusters1 = resolved
+    art2 = resolve(read_pages(corpus + "/pages.parquet"))
+    clusters2 = art2.clusters.to_pandas()
+    a = clusters1.sort_values("url").reset_index(drop=True)
+    b = clusters2.sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_distributed_cc_matches_driver(resolved, corpus, ray_session):
+    """The distributed label-propagation path converges to the same
+    fixpoint as driver union-find (the redo-loop analogue, SURVEY §2.8)."""
+    from sqs_entity_resolution_ray.stages.clustering import (
+        clusters_with_size,
+        connected_components,
+    )
+
+    art, clusters_driver = resolved
+    labels = connected_components(
+        art.profiles, art.edges, algorithm="distributed"
+    )
+    clusters_dist = clusters_with_size(labels).to_pandas()
+    assert cluster_partition(clusters_dist, "entity_id") == cluster_partition(
+        clusters_driver, "entity_id"
+    )
