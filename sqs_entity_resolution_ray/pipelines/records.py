@@ -1,0 +1,311 @@
+"""Record-model ER: the reference's own domain (flat person/org records).
+
+The pages pipeline (resolve.py) covers the north rule's web-page corpus;
+this pipeline covers the reference's native record shape — flat
+string-keyed records in the Senzing Generic Entity Specification
+(``test/fixtures/customers.jsonl``: DATA_SOURCE, RECORD_ID,
+PRIMARY_NAME_*, DATE_OF_BIRTH, ADDR_*, PHONE_NUMBER, EMAIL_ADDRESS,
+SSN_NUMBER, …; required keys enforced at ``consumer.py:188,201-204``).
+
+Pipeline: feature extraction (map_batches) → blocking-key flat emission
+(exact identifiers + name/dob keys) → per-block pair enumeration → pair
+dedup → feature join → evidence-weighted scoring with MATCH_KEY
+explanation (the ``+NAME+DOB+PHONE`` strings of ``flow-output.jsonl:1``)
+→ connected components → entity clusters.
+
+Observable Senzing behaviors reproduced (from the golden fixture, not
+its implementation): date variants unify (``Mar 1 1970`` ≡ ``3/1/1970``,
+flow-output.jsonl:2), day/month-transposed DOBs still corroborate
+(records 1001 vs 1002: 12/11/1978 vs 11/12/1978 resolve with
+``+NAME+DOB+PHONE``), address suffix variants unify (``1515 Adela Ln`` ≡
+``1515 Adela Lane``).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..config import PipelineConfig, effective_concurrency, effective_partitions
+from ..functions.strsim import jaro_winkler
+from ..functions.textnorm import (
+    normalize_date,
+    normalize_name,
+    normalize_phone,
+)
+
+REQUIRED_KEYS = ("DATA_SOURCE", "RECORD_ID")  # consumer.py:188
+
+_ADDR_SUFFIX = {
+    "ST": "STREET", "AVE": "AVENUE", "RD": "ROAD", "LN": "LANE",
+    "DR": "DRIVE", "BLVD": "BOULEVARD", "CT": "COURT", "PL": "PLACE",
+    "TER": "TERRACE", "HWY": "HIGHWAY", "APT": "", "STE": "", "UNIT": "",
+}
+
+
+def normalize_addr(line1: str, city: str = "", postal: str = "") -> str:
+    t = normalize_name(line1 or "")
+    toks = [(_ADDR_SUFFIX.get(w, w)) for w in t.split()]
+    base = " ".join(w for w in toks if w)
+    extra = normalize_name(city or "") or (postal or "").strip()
+    return (base + " " + extra).strip() if base else ""
+
+
+def _get(row: dict, key: str) -> str:
+    v = row.get(key)
+    return str(v).strip() if v is not None and not (isinstance(v, float) and np.isnan(v)) else ""
+
+
+def extract_record_features(batch: pd.DataFrame) -> pd.DataFrame:
+    """Wide record batch → feature frame (one row per valid record).
+
+    Records missing DATA_SOURCE/RECORD_ID are dropped (the nack/DLQ path,
+    consumer.py:201-204 — quarantine them upstream if needed).
+    """
+    rows = batch.to_dict("records")
+    out = {
+        "rec_key": [], "data_source": [], "record_id": [], "name_full": [],
+        "name_last": [], "dob": [], "dob_swapped": [], "phone": [],
+        "email": [], "ssn": [], "passport": [], "drivers_license": [],
+        "national_id": [], "addr": [],
+    }
+    for row in rows:
+        ds_, rid = _get(row, "DATA_SOURCE"), _get(row, "RECORD_ID")
+        if not ds_ or not rid:
+            continue
+        last = normalize_name(_get(row, "PRIMARY_NAME_LAST"))
+        first = normalize_name(_get(row, "PRIMARY_NAME_FIRST"))
+        middle = normalize_name(_get(row, "PRIMARY_NAME_MIDDLE"))
+        full = normalize_name(_get(row, "PRIMARY_NAME_FULL")) or " ".join(
+            x for x in (first, middle, last) if x
+        )
+        org = normalize_name(_get(row, "PRIMARY_NAME_ORG")) or normalize_name(
+            _get(row, "SECONDARY_NAME_ORG")
+        )
+        dob = normalize_date(_get(row, "DATE_OF_BIRTH"))
+        dob_swapped = ""
+        if dob:
+            y, m, d = dob.split("-")
+            if int(d) <= 12 and m != d:
+                dob_swapped = f"{y}-{d.zfill(2)}-{m.zfill(2)}"
+        out["rec_key"].append(f"{ds_}:{rid}")
+        out["data_source"].append(ds_)
+        out["record_id"].append(rid)
+        out["name_full"].append(full or org)
+        out["name_last"].append(last or org)
+        out["dob"].append(dob)
+        out["dob_swapped"].append(dob_swapped)
+        out["phone"].append(normalize_phone(_get(row, "PHONE_NUMBER")))
+        out["email"].append(_get(row, "EMAIL_ADDRESS").lower())
+        out["ssn"].append(re.sub(r"\D", "", _get(row, "SSN_NUMBER")))
+        out["passport"].append(_get(row, "PASSPORT_NUMBER").upper().replace(" ", ""))
+        out["drivers_license"].append(
+            _get(row, "DRIVERS_LICENSE_NUMBER").upper().replace(" ", "")
+        )
+        out["national_id"].append(
+            _get(row, "NATIONAL_ID_NUMBER").upper().replace(" ", "")
+        )
+        out["addr"].append(
+            normalize_addr(
+                _get(row, "ADDR_LINE1") or _get(row, "ADDR_FULL"),
+                _get(row, "ADDR_CITY"),
+                _get(row, "ADDR_POSTAL_CODE"),
+            )
+        )
+    return pd.DataFrame(out)
+
+
+_IDENTIFIER_KEYS = ("phone", "email", "ssn", "passport", "drivers_license",
+                    "national_id", "addr")
+
+
+def emit_blocking_keys(batch: pd.DataFrame) -> pd.DataFrame:
+    """features → (block_key, rec_key) rows.
+
+    Keys: each exact identifier value (prefixed), last-name+dob-year,
+    last-name+first-initial. The J2 candidate-index analogue.
+    """
+    keys, recs = [], []
+    for row in batch.itertuples(index=False):
+        rk = row.rec_key
+        for f in _IDENTIFIER_KEYS:
+            v = getattr(row, f)
+            if v:
+                keys.append(f"{f}={v}")
+                recs.append(rk)
+        if row.name_last:
+            if row.dob:
+                keys.append(f"lastdob={row.name_last}|{row.dob[:4]}")
+                recs.append(rk)
+            if row.dob_swapped:
+                keys.append(f"lastdob={row.name_last}|{row.dob_swapped[:4]}")
+                recs.append(rk)
+            first = (row.name_full.split()[0][:1] if row.name_full else "")
+            keys.append(f"nameinit={row.name_last}|{first}")
+            recs.append(rk)
+    return pd.DataFrame({"block_key": keys, "rec_key": recs})
+
+
+def _pairs_in_blocks(group: pd.DataFrame, max_block: int = 100) -> pd.DataFrame:
+    members = sorted(set(group["rec_key"]))
+    n = len(members)
+    if n < 2:
+        return pd.DataFrame({"rec_a": [], "rec_b": []})
+    if n > max_block:  # identifier shared by a crowd (e.g. call-center
+        members = members[:max_block]  # phone) — cap with deterministic cut
+        n = max_block
+    a, b = [], []
+    for i in range(n):
+        for j in range(i + 1, n):
+            a.append(members[i])
+            b.append(members[j])
+    return pd.DataFrame({"rec_a": a, "rec_b": b})
+
+
+# evidence weights (the MatchConfig analogue for the record domain)
+W = {
+    "ssn": 0.9, "passport": 0.9, "drivers_license": 0.9, "national_id": 0.9,
+    "email": 0.8, "phone": 0.5, "addr": 0.4,
+    "name": 0.50, "dob_exact": 0.30, "dob_swapped": 0.25, "dob_year": 0.10,
+    "dob_conflict": -0.35, "ssn_conflict": -0.5,
+}
+RECORD_MATCH_THRESHOLD = 0.7
+
+_KEY_LABEL = {
+    "ssn": "SSN", "passport": "PASSPORT", "drivers_license": "DL",
+    "national_id": "NATID", "email": "EMAIL", "phone": "PHONE",
+    "addr": "ADDRESS",
+}
+
+
+def score_record_pair(fa: pd.Series, fb: pd.Series) -> tuple[float, str]:
+    """One pair → (score, match_key). Pure, deterministic."""
+    score = 0.0
+    plus: list[str] = []
+    minus: list[str] = []
+    jw = jaro_winkler(fa["name_full"], fb["name_full"]) if fa["name_full"] and fb["name_full"] else 0.0
+    name_score = max(0.0, (jw - 0.6) / 0.4) * W["name"]
+    if name_score > 0:
+        score += name_score
+        if name_score >= 0.2:
+            plus.append("NAME")
+    if fa["dob"] and fb["dob"]:
+        if fa["dob"] == fb["dob"]:
+            score += W["dob_exact"]; plus.append("DOB")
+        elif fb["dob"] == fa["dob_swapped"] or fa["dob"] == fb["dob_swapped"]:
+            score += W["dob_swapped"]; plus.append("DOB")
+        elif fa["dob"][:4] == fb["dob"][:4]:
+            score += W["dob_year"]
+        else:
+            score += W["dob_conflict"]; minus.append("DOB")
+    for f in ("phone", "email", "addr", "passport", "drivers_license",
+              "national_id"):
+        if fa[f] and fb[f] and fa[f] == fb[f]:
+            score += W[f]
+            plus.append(_KEY_LABEL[f])
+    if fa["ssn"] and fb["ssn"]:
+        if fa["ssn"] == fb["ssn"]:
+            score += W["ssn"]; plus.append("SSN")
+        else:
+            score += W["ssn_conflict"]; minus.append("SSN")
+    mk = "".join(f"+{p}" for p in plus) + "".join(f"-{m}" for m in minus)
+    return score, mk
+
+
+class RecordPairScorer:
+    """Actor-pool scorer for joined record pairs (T1 analogue)."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        scores, mks = [], []
+        a_cols = {c[:-2]: c for c in batch.columns if c.endswith("_a")}
+        b_cols = {c[:-2]: c for c in batch.columns if c.endswith("_b")}
+        for _, row in batch.iterrows():
+            fa = pd.Series({k: row[v] for k, v in a_cols.items()})
+            fb = pd.Series({k: row[v] for k, v in b_cols.items()})
+            s, mk = score_record_pair(fa, fb)
+            scores.append(s)
+            mks.append(mk)
+        out = batch[["rec_a", "rec_b"]].copy()
+        out["score"] = np.asarray(scores)
+        out["match_key"] = mks
+        out["is_match"] = out["score"] >= RECORD_MATCH_THRESHOLD
+        return out
+
+
+def resolve_records(records: rd.Dataset, cfg: PipelineConfig | None = None):
+    """records Dataset (wide Senzing-spec columns) → artifacts dict with
+    features / edges / clusters Datasets. Cluster ids are deterministic
+    min-hash labels like the page pipeline."""
+    from ..stages.clustering import clusters_with_size, connected_components
+
+    cfg = cfg or PipelineConfig()
+    n_part = effective_partitions(cfg)
+
+    # coerce to Arrow blocks: Project/rename/join operators expect Arrow
+    features = records.map_batches(
+        lambda df: pa.Table.from_pandas(extract_record_features(df),
+                                        preserve_index=False),
+        batch_format="pandas",
+    ).materialize()
+
+    blocks = features.map_batches(emit_blocking_keys, batch_format="pandas")
+    pairs = blocks.groupby("block_key").map_groups(
+        _pairs_in_blocks, batch_format="pandas"
+    )
+    # same pair may emerge from several keys → dedup (first wins)
+    pairs = pairs.groupby(["rec_a", "rec_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+    feat_cols = ["rec_key", "name_full", "name_last", "dob", "dob_swapped",
+                 "phone", "email", "ssn", "passport", "drivers_license",
+                 "national_id", "addr"]
+    side = features.select_columns(feat_cols)
+    a = side.rename_columns({c: f"{c}_a" for c in feat_cols}).rename_columns(
+        {"rec_key_a": "rec_a"}
+    )
+    b = side.rename_columns({c: f"{c}_b" for c in feat_cols}).rename_columns(
+        {"rec_key_b": "rec_b"}
+    )
+    joined = pairs.join(a, join_type="inner", num_partitions=n_part, on=("rec_a",))
+    joined = joined.join(b, join_type="inner", num_partitions=n_part, on=("rec_b",))
+    scored = joined.map_batches(
+        RecordPairScorer,
+        batch_format="pandas",
+        batch_size=cfg.scorer_batch_size,
+        concurrency=effective_concurrency(cfg),
+    )
+    edges = scored.map_batches(
+        lambda df: pa.Table.from_pandas(
+            df[df["is_match"]][["rec_a", "rec_b", "score", "match_key"]],
+            preserve_index=False,
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    # reuse the generic CC machinery (node column is named url internally)
+    nodes = features.select_columns(["rec_key"]).rename_columns({"rec_key": "url"})
+    cc_edges = edges.rename_columns({"rec_a": "url_a", "rec_b": "url_b"})
+    labels = connected_components(nodes, cc_edges, cfg)
+    clusters = clusters_with_size(labels, cfg).rename_columns({"url": "rec_key"})
+    return {
+        "features": features,
+        "scored": scored,
+        "edges": edges,
+        "clusters": clusters,
+    }
+
+
+def load_jsonl_records(path: str) -> rd.Dataset:
+    """Read Senzing-spec JSONL (the reference's input format, S10) into a
+    wide Dataset — pandas-normalized so ragged keys become null columns."""
+    import json
+
+    with open(path) as f:
+        rows = [json.loads(line) for line in f if line.strip()]
+    df = pd.DataFrame(rows)
+    return rd.from_pandas(df)
