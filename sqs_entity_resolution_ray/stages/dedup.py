@@ -1,0 +1,429 @@
+"""Deduplication family for training-data pipelines.
+
+Exact, MinHash-LSH, SimHash, n-gram-Jaccard-verified and
+embedding-cosine near-dup — each as a composable Dataset transform over
+a generic ``(id, text)`` / ``(id, embedding)`` table. The ER pipeline
+(resolve.py) is the page-specialized big sibling; these operators serve
+the generic "documents" shape (e.g. /root/testdata documents.parquet).
+
+Scale notes: every variant follows the same shape — vectorized
+per-batch sketching (no shuffle) → narrow candidate-key shuffle →
+bounded per-group pair enumeration → verified edges → connected
+components → representative election (min id). Nothing materializes the
+full text across a shuffle except the explicit verify step of the
+n-gram variant (which re-joins texts onto the much smaller pair list).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..config import MatchConfig, PipelineConfig, effective_partitions
+from ..functions.hashing import hash_str_array, stable_rng
+from ..functions.minhash import (
+    band_keys,
+    minhash_signatures,
+    shingle_doc_hashes,
+)
+from ..functions.simhash import hamming64, simhash_from_shingles
+from ..functions.textstats import fingerprint64
+
+
+# ---------------------------------------------------------------- exact --
+
+def exact_dedup(ds: rd.Dataset, text_col: str = "text",
+                id_col: str = "doc_id") -> rd.Dataset:
+    """Keep the min-id row per exact text value.
+
+    hash-partition + per-group first (SURVEY §2.6): fingerprint each text
+    in a vectorized map_batches, shuffle only (fingerprint, id), then
+    keep min id per fingerprint. Collisions are a non-issue at 2^-64 per
+    pair; semantics = ``GROUP BY text → min(id)``.
+    """
+    def fp(batch: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                id_col: pa.array(batch[id_col]),
+                "fp": pa.array(fingerprint64(batch[text_col]), pa.uint64()),
+            }
+        )
+
+    hashed = ds.map_batches(fp, batch_format="pandas")
+    from ray.data.aggregate import Min
+
+    return (
+        hashed.groupby("fp")
+        .aggregate(Min(id_col, alias_name=id_col))
+        .select_columns([id_col])
+    )
+
+
+# ------------------------------------------------------------- near-dup --
+
+def _doc_sketches(ds: rd.Dataset, text_col: str, id_col: str,
+                  mc: MatchConfig, seed: int = 42) -> rd.Dataset:
+    """(id, text) → (doc_id:str, sig, bands, simhash, n_shingles)."""
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        flat, off = shingle_doc_hashes(texts, mc.shingle_k)
+        sig = minhash_signatures(flat, off, mc.num_perm, seed=seed)
+        bands = band_keys(sig, mc.lsh_bands, mc.lsh_rows)
+        sh = simhash_from_shingles(flat, off)
+        ids = pc.cast(batch.column(id_col), pa.string())
+        return pa.table(
+            {
+                "doc_id": ids,
+                "sig": pa.array([r.astype("<u8").tobytes() for r in sig],
+                                pa.binary()),
+                "bands": pa.array([r.astype("<u8").tobytes() for r in bands],
+                                  pa.binary()),
+                "simhash": pa.array(sh, pa.uint64()),
+                "n_shingles": pa.array(np.diff(off).astype(np.int32),
+                                       pa.int32()),
+            }
+        )
+
+    return ds.map_batches(sketch, batch_format="pyarrow")
+
+
+def _dedup_from_edges(ids_ds: rd.Dataset, edges: rd.Dataset,
+                      cfg: PipelineConfig) -> rd.Dataset:
+    """ids + match edges → one representative (min id) per component.
+
+    Returns (doc_id, rep_id, cluster_size); survivors = rows where
+    doc_id == rep_id.
+    """
+    from ..stages.clustering import connected_components
+
+    nodes = ids_ds.rename_columns({"doc_id": "url"})
+    e = edges.rename_columns({"doc_id_a": "url_a", "doc_id_b": "url_b"})
+    labels = connected_components(nodes, e, cfg)
+
+    from ray.data.aggregate import Count, Min
+
+    # representative = lexicographic min doc_id per label
+    reps = labels.groupby("label").aggregate(
+        Min("url", alias_name="rep_id"), Count(alias_name="cluster_size")
+    )
+    joined = labels.join(
+        reps, join_type="inner", num_partitions=effective_partitions(cfg),
+        on=("label",),
+    )
+    return joined.rename_columns({"url": "doc_id"}).select_columns(
+        ["doc_id", "rep_id", "cluster_size"]
+    )
+
+
+def minhash_dedup(ds: rd.Dataset, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  threshold: float = 0.8,
+                  mc: MatchConfig | None = None,
+                  cfg: PipelineConfig | None = None) -> rd.Dataset:
+    """MinHash-LSH near-dup: shingle → minhash → band buckets →
+    estimated-Jaccard verify ≥ threshold → CC → (doc_id, rep_id,
+    cluster_size)."""
+    mc = mc or MatchConfig()
+    cfg = cfg or PipelineConfig()
+    sketches = _doc_sketches(ds, text_col, id_col, mc).materialize()
+    pairs = _sketch_pairs(sketches, mc, cfg)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"doc_id_a": pa.array([], pa.string()),
+                             "doc_id_b": pa.array([], pa.string())})
+        p = mc.num_perm
+        sa = np.frombuffer(b"".join(batch.column("sig_a").to_pylist()),
+                           dtype="<u8").reshape(n, p)
+        sb = np.frombuffer(b"".join(batch.column("sig_b").to_pylist()),
+                           dtype="<u8").reshape(n, p)
+        ej = (sa == sb).mean(axis=1)
+        keep = ej >= threshold
+        return pa.table(
+            {
+                "doc_id_a": batch.column("doc_id_a").filter(pa.array(keep)),
+                "doc_id_b": batch.column("doc_id_b").filter(pa.array(keep)),
+            }
+        )
+
+    edges = pairs.map_batches(verify, batch_format="pyarrow")
+    return _dedup_from_edges(sketches.select_columns(["doc_id"]), edges, cfg)
+
+
+def _sketch_pairs(sketches: rd.Dataset, mc: MatchConfig,
+                  cfg: PipelineConfig) -> rd.Dataset:
+    """LSH band buckets → candidate pairs carrying both signatures.
+
+    Unlike the page pipeline (which re-joins profiles to keep the band
+    shuffle narrow), this carries signatures through the band shuffle —
+    the right trade below ~10^8 docs per run; above that, switch to the
+    join plan in stages/scoring.py.
+    """
+    lsh_bands = mc.lsh_bands
+
+    def emit(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        blobs = batch.column("bands").to_pylist()
+        mat = np.frombuffer(b"".join(blobs), dtype="<u8").reshape(n, lsh_bands) if n else np.empty((0, lsh_bands))
+        idx = np.repeat(np.arange(n), lsh_bands)
+        return pa.table(
+            {
+                "band_key": pa.array(mat.reshape(-1).astype(np.uint64), pa.uint64()),
+                "doc_id": batch.column("doc_id").take(pa.array(idx)),
+                "bands": pa.array([blobs[i] for i in idx], pa.binary()),
+                "sig": batch.column("sig").take(pa.array(idx)),
+            }
+        )
+
+    band_rows = sketches.map_batches(emit, batch_format="pyarrow")
+
+    max_block = cfg.max_block_size
+
+    def pairs_in_block(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.table({"doc_id_a": pa.array([], pa.string()),
+                          "doc_id_b": pa.array([], pa.string()),
+                          "sig_a": pa.array([], pa.binary()),
+                          "sig_b": pa.array([], pa.binary())})
+        if n < 2:
+            return empty
+        ids = group.column("doc_id").to_pylist()
+        all_blobs = group.column("bands").to_pylist()
+        all_sigs = group.column("sig").to_pylist()
+        order = np.argsort(ids)
+        ids = [ids[i] for i in order]
+        blobs = [all_blobs[i] for i in order]
+        sigs = [all_sigs[i] for i in order]
+        mat = np.frombuffer(b"".join(blobs), dtype="<u8").reshape(n, lsh_bands)
+        band_key = group.column("band_key")[0].as_py()
+        this_band = int(np.argmax(mat[0] == np.uint64(band_key)))
+        out_a, out_b, sa, sb = [], [], [], []
+        # salted chunking with 1-overlap (same skew policy as blocking.py)
+        chunks = []
+        if n <= max_block:
+            chunks = [range(n)]
+        else:
+            s = 0
+            while s < n - 1:
+                e = min(s + max_block, n)
+                chunks.append(range(s, e))
+                if e == n:
+                    break
+                s = e - 1
+        for ch in chunks:
+            mem = list(ch)
+            for x in range(len(mem)):
+                i = mem[x]
+                for y in range(x + 1, len(mem)):
+                    j = mem[y]
+                    first = int(np.argmax(mat[i] == mat[j]))
+                    if first != this_band or mat[i][first] != mat[j][first]:
+                        continue
+                    out_a.append(ids[i]); out_b.append(ids[j])
+                    sa.append(sigs[i]); sb.append(sigs[j])
+        if not out_a:
+            return empty
+        return pa.table({"doc_id_a": pa.array(out_a, pa.string()),
+                         "doc_id_b": pa.array(out_b, pa.string()),
+                         "sig_a": pa.array(sa, pa.binary()),
+                         "sig_b": pa.array(sb, pa.binary())})
+
+    return band_rows.groupby("band_key").map_groups(
+        pairs_in_block, batch_format="pyarrow"
+    )
+
+
+def simhash_dedup(ds: rd.Dataset, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  mc: MatchConfig | None = None,
+                  cfg: PipelineConfig | None = None) -> rd.Dataset:
+    """SimHash near-dup: 64-bit simhash, bucketed by the four 16-bit
+    chunks (any pair within Hamming ≤3 shares at least one intact chunk
+    — pigeonhole), verified by full Hamming distance, then CC."""
+    mc = mc or MatchConfig()
+    cfg = cfg or PipelineConfig()
+    sketches = _doc_sketches(ds, text_col, id_col, mc).materialize()
+
+    def emit(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        sh = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        keys = []
+        for chunk in range(4):
+            part = (sh >> np.uint64(16 * chunk)) & np.uint64(0xFFFF)
+            keys.append(part.astype(np.uint64) | (np.uint64(chunk) << np.uint64(32)))
+        idx = np.tile(np.arange(n), 4)
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(keys), pa.uint64()),
+                "doc_id": batch.column("doc_id").take(pa.array(idx)),
+                "simhash": batch.column("simhash").take(pa.array(idx)),
+            }
+        )
+
+    buckets = sketches.map_batches(emit, batch_format="pyarrow")
+    max_block = cfg.max_block_size
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.table({"doc_id_a": pa.array([], pa.string()),
+                          "doc_id_b": pa.array([], pa.string())})
+        if n < 2:
+            return empty
+        ids = group.column("doc_id").to_pylist()
+        order = np.argsort(ids)
+        ids = [ids[i] for i in order]
+        sh = group.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)[order]
+        out_a, out_b = [], []
+        cap = min(n, max_block * 4)
+        for i in range(cap):
+            hd = hamming64(np.full(cap - i - 1, sh[i], dtype=np.uint64),
+                           sh[i + 1:cap])
+            for off in np.flatnonzero(hd <= max_hamming):
+                j = i + 1 + int(off)
+                if ids[i] < ids[j]:
+                    out_a.append(ids[i]); out_b.append(ids[j])
+                else:
+                    out_a.append(ids[j]); out_b.append(ids[i])
+        if not out_a:
+            return empty
+        return pa.table({"doc_id_a": pa.array(out_a, pa.string()),
+                         "doc_id_b": pa.array(out_b, pa.string())})
+
+    pairs = buckets.groupby("bucket").map_groups(
+        pairs_in_bucket, batch_format="pyarrow"
+    )
+    # pairs can repeat across chunks → CC handles duplicates harmlessly
+    return _dedup_from_edges(sketches.select_columns(["doc_id"]), pairs, cfg)
+
+
+def ngram_jaccard_dedup(ds: rd.Dataset, text_col: str = "text",
+                        id_col: str = "doc_id", threshold: float = 0.7,
+                        mc: MatchConfig | None = None,
+                        cfg: PipelineConfig | None = None) -> rd.Dataset:
+    """LSH candidates verified by EXACT n-gram Jaccard (texts re-joined
+    onto the candidate pair list, never through the band shuffle)."""
+    mc = mc or MatchConfig()
+    cfg = cfg or PipelineConfig()
+    n_part = effective_partitions(cfg)
+    sketches = _doc_sketches(ds, text_col, id_col, mc).materialize()
+    pairs = _sketch_pairs(sketches, mc, cfg).select_columns(
+        ["doc_id_a", "doc_id_b"]
+    )
+
+    texts = ds.map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t.column(id_col), pa.string()),
+                            "text": t.column(text_col)}),
+        batch_format="pyarrow",
+    )
+    a = texts.rename_columns({"doc_id": "doc_id_a", "text": "text_a"})
+    b = texts.rename_columns({"doc_id": "doc_id_b", "text": "text_b"})
+    joined = pairs.join(a, join_type="inner", num_partitions=n_part,
+                        on=("doc_id_a",))
+    joined = joined.join(b, join_type="inner", num_partitions=n_part,
+                         on=("doc_id_b",))
+
+    k = mc.shingle_k
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        keep = np.zeros(batch.num_rows, dtype=bool)
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            fa, oa = shingle_doc_hashes([x or ""], k)
+            fb, ob = shingle_doc_hashes([y or ""], k)
+            sa_set, sb_set = set(fa.tolist()), set(fb.tolist())
+            inter = len(sa_set & sb_set)
+            union = len(sa_set | sb_set)
+            keep[i] = union > 0 and inter / union >= threshold
+        return pa.table({
+            "doc_id_a": batch.column("doc_id_a").filter(pa.array(keep)),
+            "doc_id_b": batch.column("doc_id_b").filter(pa.array(keep)),
+        })
+
+    edges = joined.map_batches(verify, batch_format="pyarrow")
+    return _dedup_from_edges(sketches.select_columns(["doc_id"]), edges, cfg)
+
+
+def embedding_dedup(ds: rd.Dataset, emb_col: str = "embedding",
+                    id_col: str = "vec_id", threshold: float = 0.95,
+                    n_planes: int = 16, seed: int = 42,
+                    cfg: PipelineConfig | None = None) -> rd.Dataset:
+    """Embedding-cosine near-dup via random-hyperplane LSH buckets.
+
+    Sign pattern of ``n_planes`` random projections buckets vectors;
+    within-bucket pairs are verified by exact cosine ≥ threshold. A pair
+    at cosine c collides in one bucket with prob (1 - acos(c)/π)^n; for
+    c=0.95 and 16 planes ≈ 0.48 — so two independent plane sets are
+    used, pushing recall ≈ 0.73; raise n_sets for higher recall.
+    """
+    cfg = cfg or PipelineConfig()
+    rng = stable_rng(f"embdedup-{seed}")
+    n_sets = 4
+
+    first = ds.take(1)
+    dim = len(first[0][emb_col])
+    planes = rng.standard_normal((n_sets, n_planes, dim)).astype(np.float32)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        embs = np.asarray(batch.column(emb_col).to_pylist(), dtype=np.float32)
+        n = len(embs)
+        norms = np.linalg.norm(embs, axis=1, keepdims=True)
+        unit = embs / np.maximum(norms, 1e-12)
+        ids = pc.cast(batch.column(id_col), pa.string())
+        out_bucket, out_idx = [], []
+        for s in range(n_sets):
+            bits = (unit @ planes[s].T) > 0  # (n, n_planes)
+            code = np.zeros(n, dtype=np.uint64)
+            for j in range(n_planes):
+                code |= bits[:, j].astype(np.uint64) << np.uint64(j)
+            out_bucket.append(code | (np.uint64(s) << np.uint64(32)))
+            out_idx.append(np.arange(n))
+        idx = np.concatenate(out_idx)
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(out_bucket), pa.uint64()),
+                "vec_id": ids.take(pa.array(idx)),
+                "embedding": batch.column(emb_col).take(pa.array(idx)),
+            }
+        )
+
+    buckets = ds.map_batches(emit, batch_format="pyarrow")
+    max_block = cfg.max_block_size
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.table({"doc_id_a": pa.array([], pa.string()),
+                          "doc_id_b": pa.array([], pa.string())})
+        if n < 2:
+            return empty
+        ids = group.column("vec_id").to_pylist()
+        order = np.argsort(ids)
+        ids = [ids[i] for i in order]
+        embs = np.asarray(group.column("embedding").to_pylist(),
+                          dtype=np.float32)[order]
+        unit = embs / np.maximum(np.linalg.norm(embs, axis=1, keepdims=True),
+                                 1e-12)
+        cap = min(n, max_block * 4)
+        sims = unit[:cap] @ unit[:cap].T
+        ii, jj = np.triu_indices(cap, k=1)
+        keep = sims[ii, jj] >= threshold
+        if not keep.any():
+            return empty
+        return pa.table({
+            "doc_id_a": pa.array([ids[i] for i in ii[keep]], pa.string()),
+            "doc_id_b": pa.array([ids[j] for j in jj[keep]], pa.string()),
+        })
+
+    pairs = buckets.groupby("bucket").map_groups(
+        pairs_in_bucket, batch_format="pyarrow"
+    )
+    ids_ds = ds.map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t.column(id_col), pa.string())}),
+        batch_format="pyarrow",
+    )
+    return _dedup_from_edges(ids_ds, pairs, cfg)

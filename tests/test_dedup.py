@@ -1,0 +1,123 @@
+"""Dedup family tests over a synthetic documents table with known dups."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    """60 docs: 20 groups of exact dups, near-dups and uniques."""
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.functions.hashing import stable_rng
+
+    rng = stable_rng("dedup-docs")
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    truth = {}
+    doc_id = 0
+    for g in range(20):
+        base = " ".join(vocab[int(i)] for i in rng.integers(0, 200, size=80))
+        n_copies = int(rng.integers(1, 4))
+        for c in range(n_copies):
+            if c == 0:
+                text = base
+            elif c == 1:
+                text = base  # exact dup
+            else:
+                toks = base.split()
+                for _ in range(2):  # near dup: 2 token edits
+                    toks[int(rng.integers(0, len(toks)))] = "zq"
+                text = " ".join(toks)
+            rows.append({"doc_id": doc_id, "text": text})
+            truth[doc_id] = g
+            doc_id += 1
+    df = pd.DataFrame(rows)
+    return rd.from_pandas(df), df, truth
+
+
+def test_exact_dedup(docs, ray_session):
+    from sqs_entity_resolution_ray.stages.dedup import exact_dedup
+
+    ds, df, truth = docs
+    kept = exact_dedup(ds).to_pandas()["doc_id"].tolist()
+    # one survivor per distinct text, and it's the min doc_id
+    expected = df.groupby("text")["doc_id"].min().sort_values().tolist()
+    assert sorted(kept) == sorted(expected)
+
+
+def test_minhash_dedup(docs, ray_session):
+    from sqs_entity_resolution_ray.stages.dedup import minhash_dedup
+
+    ds, df, truth = docs
+    out = minhash_dedup(ds, threshold=0.7).to_pandas()
+    assert len(out) == len(df)
+    out["doc_id"] = out["doc_id"].astype(int)
+    # all members of a truth group share one representative
+    rep_of = out.set_index("doc_id")["rep_id"]
+    groups = pd.Series(truth)
+    for g, members in groups.groupby(groups).groups.items():
+        reps = {rep_of[m] for m in members}
+        assert len(reps) == 1, (g, reps)
+    # distinct groups keep distinct representatives
+    assert out["rep_id"].nunique() == 20
+
+
+def test_simhash_dedup(docs, ray_session):
+    from sqs_entity_resolution_ray.stages.dedup import simhash_dedup
+
+    ds, df, truth = docs
+    out = simhash_dedup(ds, max_hamming=6).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(int)
+    rep_of = out.set_index("doc_id")["rep_id"]
+    # exact dups always merge under simhash
+    dup_pairs = df.groupby("text")["doc_id"].apply(list)
+    for ids in dup_pairs:
+        assert len({rep_of[i] for i in ids}) == 1
+
+
+def test_ngram_jaccard_dedup(docs, ray_session):
+    from sqs_entity_resolution_ray.stages.dedup import ngram_jaccard_dedup
+
+    ds, df, truth = docs
+    out = ngram_jaccard_dedup(ds, threshold=0.6).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(int)
+    rep_of = out.set_index("doc_id")["rep_id"]
+    groups = pd.Series(truth)
+    for g, members in groups.groupby(groups).groups.items():
+        assert len({rep_of[m] for m in members}) == 1
+
+
+def test_embedding_dedup(ray_session):
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.functions.hashing import stable_rng
+    from sqs_entity_resolution_ray.stages.dedup import embedding_dedup
+
+    rng = stable_rng("embdedup-test")
+    base = rng.standard_normal((30, 32)).astype(np.float32)
+    rows = []
+    vec_id = 0
+    truth = {}
+    for g in range(30):
+        for c in range(2 if g % 3 == 0 else 1):
+            v = base[g] + (rng.standard_normal(32).astype(np.float32) * 0.01
+                           if c else 0)
+            rows.append({"vec_id": vec_id, "embedding": v.tolist()})
+            truth[vec_id] = g
+            vec_id += 1
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = embedding_dedup(ds, threshold=0.98).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(int)
+    rep_of = out.set_index("doc_id")["rep_id"]
+    groups = pd.Series(truth)
+    merged = 0
+    for g, members in groups.groupby(groups).groups.items():
+        if len(members) > 1 and len({rep_of[m] for m in members}) == 1:
+            merged += 1
+    n_dup_groups = sum(1 for g in range(30) if g % 3 == 0)
+    # LSH recall is probabilistic; 4 plane sets at cos≈1.0 ⇒ ~all found
+    assert merged >= n_dup_groups - 1
+    # no false merges across groups
+    assert out["rep_id"].nunique() >= 30 - 1

@@ -1,0 +1,151 @@
+"""Text-analysis + windows + multimodal plumbing tests."""
+
+import numpy as np
+import pandas as pd
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_language_id(ray_session):
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.stages.text_analysis import language_id
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the cat sat on the mat and it was a good day for this",
+                "el gato es un animal que vive en la casa con los niños",
+                "der Hund ist ein Tier und das ist nicht schlecht für die Stadt",
+                "zzz qqq xxx",
+            ],
+        }
+    )
+    out = language_id(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert out["lang_pred"].tolist() == ["en", "es", "de", "und"]
+
+
+def test_token_count_modes(ray_session):
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.stages.text_analysis import token_count
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["one two  three", "", "a-b c123 d!"]})
+    ws = token_count(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert ws["n_tokens"].tolist() == [3, 0, 3]
+    bpe = token_count(rd.from_pandas(df), mode="bpe").to_pandas().sort_values("doc_id")
+    assert bpe["n_tokens"].tolist()[0] == 3
+    assert bpe["n_tokens"].tolist()[2] == 7  # a - b c 123 d !
+
+def test_quality_and_fingerprints(ray_session):
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.stages.text_analysis import (
+        fingerprints,
+        quality,
+    )
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "The quick brown fox jumps over the lazy dog. It was a fine day.",
+                "@@@@ #### $$$$ 12345 !!!!",
+            ],
+        }
+    )
+    q = quality(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert q.loc[q.doc_id == 1, "quality"].iloc[0] > q.loc[q.doc_id == 2, "quality"].iloc[0]
+    f1 = fingerprints(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    f2 = fingerprints(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert f1["fingerprint"].tolist() == f2["fingerprint"].tolist()
+    assert f1["fingerprint"].nunique() == 2
+
+
+def test_tumbling_window(ray_session):
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.stages.windows import tumbling_window_agg
+
+    events = rd.read_parquet(f"{SF_DIR}/events.parquet")
+    out = tumbling_window_agg(events, window="1h").to_pandas()
+    df = events.to_pandas()
+    df["window_start"] = df["ts"].dt.floor("1h")
+    expected = (
+        df.groupby(["user_id", "window_start"])["value"]
+        .agg(["count", "sum"])
+        .reset_index()
+    )
+    merged = expected.merge(out, on=["user_id", "window_start"], how="outer")
+    assert len(merged) == len(expected) == len(out)
+    assert (merged["count"] == merged["n_events"]).all()
+    assert np.allclose(merged["sum"], merged["sum_value"])
+
+
+def test_session_windows(ray_session):
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.stages.windows import session_windows
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 10:10",
+                 "2024-01-01 12:00", "2024-01-01 10:00"]
+            ),
+        }
+    )
+    out = session_windows(rd.from_pandas(df), gap="30min").to_pandas()
+    u1 = out[out["user_id"] == 1].sort_values("session_start")
+    assert len(u1) == 2 and u1["n_events"].tolist() == [2, 1]
+    assert len(out[out["user_id"] == 2]) == 1
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.stages.multimodal import (
+        audio_features,
+        decode_images,
+        sample_frames,
+        synthetic_media,
+    )
+
+    media = rd.from_arrow(synthetic_media(24))
+    img = decode_images(media, batch_size=8).to_pandas()
+    assert len(img) == 24
+    assert set(img["backend"]) == {"fake"}  # no PIL in this environment
+    assert all(len(f) == 64 for f in img["features"])
+    # deterministic features (stub keyed on payload bytes)
+    img2 = decode_images(rd.from_arrow(synthetic_media(24)), batch_size=8).to_pandas()
+    a = img.sort_values("media_id")["features"].tolist()
+    b = img2.sort_values("media_id")["features"].tolist()
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
+
+    au = audio_features(media, batch_size=8).to_pandas()
+    assert all(len(f) == 32 for f in au["features"])
+
+    fr = sample_frames(media, batch_size=8).to_pandas()
+    assert len(fr) == 24 * 4
+    assert fr.groupby("media_id")["frame_idx"].count().eq(4).all()
+
+
+def test_broadcast_joins(ray_session):
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.stages.joins import (
+        broadcast_lookup,
+        broadcast_semi_join,
+    )
+
+    ds = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3, 4], "v": "abcd".split("")
+                                      if False else list("abcd")}))
+    semi = broadcast_semi_join(ds, "k", [2, 4]).to_pandas()
+    assert sorted(semi["k"]) == [2, 4]
+    anti = broadcast_semi_join(ds, "k", [2, 4], anti=True).to_pandas()
+    assert sorted(anti["k"]) == [1, 3]
+    lk = broadcast_lookup(ds, "k", {1: "x", 2: "y"}, "tag", default="-").to_pandas()
+    assert lk.sort_values("k")["tag"].tolist() == ["x", "y", "-", "-"]
