@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship ER pipeline at sf0.001; ``queries()`` maps
+every implemented operator family from SURVEY.md §2 (plus the
+training-data operators) to a callable over an sf dir; ``oracle_sql()``
+gives the DuckDB-checkable subset. Ray is initialised by the DRIVER —
+nothing here calls ray.init()/shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Column names in each Ray result match the oracle SQL aliases exactly
+(the driver sorts columns by name and value-hashes).
 """
 
 from __future__ import annotations
@@ -18,27 +15,402 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _docs(sf_dir):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(sf_dir, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+# --------------------------------------------------------------- queries --
+
+def q_resolve_pages(sf_dir: str):
+    """Flagship: pages (derived deterministically from the documents
+    table) → entity clusters. Rows-only check (ER is not SQL)."""
+    from sqs_entity_resolution_ray.pipelines.resolve import read_pages, resolve
+    from sqs_entity_resolution_ray.sources.corpus import pages_from_documents
+
+    d = pages_from_documents(sf_dir)
+    art = resolve(read_pages(d + "/pages.parquet"))
+    return art.clusters.to_pandas().sort_values("url").reset_index(drop=True)
+
+
+def q_exact_dedup(sf_dir: str):
+    from sqs_entity_resolution_ray.stages.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir), text_col="text", id_col="doc_id")
+
+
+def q_minhash_dedup(sf_dir: str):
+    from sqs_entity_resolution_ray.stages.dedup import minhash_dedup
+
+    out = minhash_dedup(_docs(sf_dir), threshold=0.8).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_simhash_dedup(sf_dir: str):
+    from sqs_entity_resolution_ray.stages.dedup import simhash_dedup
+
+    out = simhash_dedup(_docs(sf_dir), max_hamming=3).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_ngram_dedup(sf_dir: str):
+    from sqs_entity_resolution_ray.stages.dedup import ngram_jaccard_dedup
+
+    out = ngram_jaccard_dedup(_docs(sf_dir), threshold=0.7).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_embedding_dedup(sf_dir: str):
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.stages.dedup import embedding_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_dedup(ds, threshold=0.98).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-5 for every vec_id % 100 == 0 query.
+    Returns (query_id, neighbor_id) pairs — rank/sim omitted so the
+    comparison is float-precision-robust at the set level."""
+    import numpy as np
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.stages.similarity import ann_topk_bruteforce
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = ds.to_pandas()
+    qdf = qdf[qdf["vec_id"] % 100 == 0]
+    out = ann_topk_bruteforce(
+        ds,
+        qdf["vec_id"].to_numpy(),
+        np.asarray(qdf["embedding"].tolist(), dtype=np.float64),
+        k=5,
+    ).to_pandas()
+    out = out.rename(columns={"vec_id": "neighbor_id"})
+    return out[["query_id", "neighbor_id"]].sort_values(
+        ["query_id", "neighbor_id"]
+    ).reset_index(drop=True)
+
+
+def q_language_id(sf_dir: str):
+    from sqs_entity_resolution_ray.stages.text_analysis import language_id
+
+    return language_id(_docs(sf_dir))
+
+
+def q_token_count(sf_dir: str):
+    from sqs_entity_resolution_ray.stages.text_analysis import token_count
+
+    return token_count(_docs(sf_dir))
+
+
+def q_quality(sf_dir: str):
+    from sqs_entity_resolution_ray.stages.text_analysis import quality
+
+    return quality(_docs(sf_dir))
+
+
+def q_fingerprints(sf_dir: str):
+    from sqs_entity_resolution_ray.stages.text_analysis import fingerprints
+
+    return fingerprints(_docs(sf_dir))
+
+
+def q_doc_stats(sf_dir: str):
+    """A4-style grouped aggregation with integer-exact measures."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    return (
+        _docs(sf_dir)
+        .groupby(["source", "lang"])
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+            Min("doc_id", alias_name="min_doc_id"),
+            Max("doc_id", alias_name="max_doc_id"),
+        )
+    )
+
+
+def q_lang_filter(sf_dir: str):
+    """M2-style vectorized row filter with column pruning at the read."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t.column("lang"), "en"),
+                    pc.greater_equal(t.column("n_chars"), 200))
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_event_tallies(sf_dir: str):
+    """A1 status-tally analogue: counts per event_type."""
+    from ray.data.aggregate import Count
+
+    return (
+        _events(sf_dir, columns=["event_type"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_events"))
+    )
+
+
+def q_distinct_users(sf_dir: str):
+    """A2 distinct analogue."""
+    import pandas as pd
+
+    vals = _events(sf_dir, columns=["user_id"]).unique("user_id")
+    return pd.DataFrame({"user_id": sorted(vals)})
+
+
+def q_semi_join(sf_dir: str):
+    """J1 tracker-semi-join analogue: orders of customers in nation 1,
+    via a broadcast key set (no shuffle)."""
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.stages.joins import broadcast_semi_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    keys = [
+        r["c_custkey"]
+        for r in cust.filter(lambda r: r["c_nationkey"] == 1).take_all()
+    ]
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    return broadcast_semi_join(orders, "o_custkey", keys).select_columns(
+        ["o_orderkey"]
+    )
+
+
+def q_anti_join(sf_dir: str):
+    """S8 deleted-entity analogue: customers with no big-ticket orders
+    (every customer has SOME order in this data — threshold keeps the
+    anti side non-empty at every sf)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.stages.joins import broadcast_semi_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t.column("o_totalprice"), 400000.0)),
+        batch_format="pyarrow",
+    )
+    keys = orders.unique("o_custkey")
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    return broadcast_semi_join(cust, "c_custkey", keys, anti=True)
+
+
+def q_window_hourly(sf_dir: str):
+    """Tumbling-window aggregate (beyond-reference streaming op)."""
+    from sqs_entity_resolution_ray.stages.windows import tumbling_window_agg
+
+    out = tumbling_window_agg(
+        _events(sf_dir, columns=["user_id", "ts", "value"]), window="1h"
+    )
+    return out.select_columns(["user_id", "window_start", "n_events"])
+
+
+def q_session_windows(sf_dir: str):
+    from sqs_entity_resolution_ray.stages.windows import session_windows
+
+    return session_windows(_events(sf_dir, columns=["user_id", "ts"]),
+                           gap="30min")
+
+
+def q_lineitem_agg(sf_dir: str):
+    """Partial-aggregation pattern over the biggest table (integer-exact
+    sums only: l_quantity is integral)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        g = (
+            batch.groupby(["l_returnflag", "l_linestatus"], sort=False)["l_quantity"]
+            .agg(["count", "sum"])
+            .reset_index()
+        )
+        return pa.Table.from_pandas(
+            g.rename(columns={"count": "n", "sum": "sum_qty"}),
+            preserve_index=False,
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("n", alias_name="n_rows"), Sum("sum_qty", alias_name="sum_qty"))
+    )
+
+
+def q_top_parts(sf_dir: str):
+    """sort + limit with deterministic tie-break."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
+    )
+    agg = ds.groupby("l_partkey").aggregate(Sum("l_quantity", alias_name="total_qty"))
+    return agg.sort(["total_qty", "l_partkey"], descending=[True, False]).limit(10)
+
+
+def q_records_er(sf_dir: str):
+    """Record-model ER on the deterministic people fixture (rows-only)."""
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.pipelines.records import resolve_records
+    from sqs_entity_resolution_ray.sources.people import generate_people
+
+    df, _ = generate_people(n_persons=40, seed=7)
+    art = resolve_records(rd.from_pandas(df))
+    return art["clusters"].to_pandas().sort_values("rec_key").reset_index(drop=True)
+
+
+def q_entity_report(sf_dir: str):
+    """Nested entity report for the flagship pipeline (rows-only)."""
+    import pandas as pd
+
+    from sqs_entity_resolution_ray.pipelines.resolve import read_pages, resolve
+    from sqs_entity_resolution_ray.sources.corpus import pages_from_documents
+    from sqs_entity_resolution_ray.stages.report import entity_report
+
+    d = pages_from_documents(sf_dir)
+    art = resolve(read_pages(d + "/pages.parquet"))
+    rep = entity_report(art.clusters, art.profiles, art.edges).to_pandas()
+    rep["records"] = rep["records"].astype(str)     # nested → stable string
+    rep["features"] = rep["features"].astype(str)
+    return rep.sort_values("entity_id").reset_index(drop=True)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
+    return q_resolve_pages(SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "resolve_pages": q_resolve_pages,
+        "entity_report": q_entity_report,
+        "records_er": q_records_er,
+        "exact_dedup": q_exact_dedup,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "ngram_dedup": q_ngram_dedup,
+        "embedding_dedup": q_embedding_dedup,
+        "ann_topk": q_ann_topk,
+        "language_id": q_language_id,
+        "token_count": q_token_count,
+        "quality": q_quality,
+        "fingerprints": q_fingerprints,
+        "doc_stats": q_doc_stats,
+        "lang_filter": q_lang_filter,
+        "event_tallies": q_event_tallies,
+        "distinct_users": q_distinct_users,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "window_hourly": q_window_hourly,
+        "session_windows": q_session_windows,
+        "lineitem_agg": q_lineitem_agg,
+        "top_parts": q_top_parts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup": (
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "ann_topk": (
+            "SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id "
+            "FROM embeddings a, embeddings b "
+            "WHERE a.vec_id % 100 = 0 AND b.vec_id <> a.vec_id "
+            "QUALIFY row_number() OVER ("
+            "  PARTITION BY a.vec_id "
+            "  ORDER BY list_cosine_similarity("
+            "    CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])"
+            "  ) DESC, b.vec_id) <= 5"
+        ),
+        "token_count": (
+            "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END "
+            "AS n_tokens FROM documents"
+        ),
+        "doc_stats": (
+            "SELECT source, lang, count(*) AS n_docs, "
+            "sum(n_chars) AS sum_chars, min(doc_id) AS min_doc_id, "
+            "max(doc_id) AS max_doc_id FROM documents GROUP BY source, lang"
+        ),
+        "lang_filter": (
+            "SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 200"
+        ),
+        "event_tallies": (
+            "SELECT event_type, count(*) AS n_events FROM events "
+            "GROUP BY event_type"
+        ),
+        "distinct_users": "SELECT DISTINCT user_id FROM events",
+        "semi_join": (
+            "SELECT o_orderkey FROM orders WHERE o_custkey IN "
+            "(SELECT c_custkey FROM customer WHERE c_nationkey = 1)"
+        ),
+        "anti_join": (
+            "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+            "(SELECT DISTINCT o_custkey FROM orders "
+            "WHERE o_totalprice > 400000)"
+        ),
+        "window_hourly": (
+            "SELECT user_id, date_trunc('hour', ts) AS window_start, "
+            "count(*) AS n_events FROM events "
+            "GROUP BY user_id, date_trunc('hour', ts)"
+        ),
+        "session_windows": (
+            "WITH d AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE "
+            "THEN 1 ELSE 0 END AS brk FROM events), "
+            "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM d) "
+            "SELECT user_id, min(ts) AS session_start, "
+            "max(ts) AS session_end, count(*) AS n_events FROM s "
+            "GROUP BY user_id, sid"
+        ),
+        "lineitem_agg": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS n_rows, "
+            "sum(l_quantity) AS sum_qty FROM lineitem "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "top_parts": (
+            "SELECT l_partkey, sum(l_quantity) AS total_qty FROM lineitem "
+            "GROUP BY l_partkey ORDER BY total_qty DESC, l_partkey LIMIT 10"
+        ),
+    }

@@ -314,6 +314,86 @@ def generate_corpus(
     }
 
 
+def pages_from_documents(
+    sf_dir: str,
+    variants_per_doc: int = 3,
+    root: str = "/tmp/ser_ray_docpages",
+) -> str:
+    """Derive a deterministic pages corpus from a testdata documents table.
+
+    Each document becomes an entity with 1..variants_per_doc perturbed
+    HTML page variants (token typos, boilerplate swap) — the input shape
+    mandated by BASELINE.json's input_hint, at a size that scales with
+    the sf directory. Cached on disk; key = (sf_dir identity, params).
+    Also writes expected_clusters.parquet (truth = source doc).
+    """
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    import hashlib
+
+    st = os.stat(doc_path)
+    key = f"{os.path.abspath(sf_dir)}|{st.st_size}|{variants_per_doc}"
+    tag = f"v{CORPUS_VERSION}_{hashlib.sha256(key.encode()).hexdigest()[:12]}"
+    out = os.path.join(root, tag)
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+
+    docs = pq.read_table(doc_path, columns=["doc_id", "text", "lang"])
+    doc_ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    langs = docs.column("lang").to_pylist()
+    rng = stable_rng(f"docpages-{variants_per_doc}")
+
+    urls, tss, htmls, crawler_texts, out_langs, entity_of = [], [], [], [], [], []
+    for d, text, lang in zip(doc_ids, texts, langs):
+        toks = (text or "").split()
+        n_var = 1 + int(d) % variants_per_doc
+        title = " ".join(toks[:5]) if toks else f"document {d}"
+        for v in range(n_var):
+            vtoks = toks if v == 0 else _perturb_tokens(toks, 0.01, rng)
+            paras = [" ".join(vtoks[i:i + 40]) for i in range(0, max(len(vtoks), 1), 40)]
+            html = _render_html(
+                title,
+                _NAVS[(int(d) + v) % len(_NAVS)],
+                paras,
+                _FOOTERS[int(d) % len(_FOOTERS)],
+            )
+            urls.append(f"https://docs.example.com/{d}/v{v}")
+            tss.append(int((_EPOCH + _dt.timedelta(minutes=int(d) % 100000)).timestamp() * 1_000_000))
+            htmls.append(html)
+            crawler_texts.append("")
+            out_langs.append(lang or "en")
+            entity_of.append(f"doc-{d}")
+
+    pages = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(crawler_texts, pa.string()),
+            "lang": pa.array(out_langs, pa.string()),
+        }
+    )
+    truth = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "entity_id": pa.array(entity_of, pa.string()),
+        }
+    )
+    tmp = out + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(pages, os.path.join(tmp, "pages.parquet"))
+    pq.write_table(truth, os.path.join(tmp, "expected_clusters.parquet"))
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+        f.write(tag)
+    if os.path.exists(out):
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        os.replace(tmp, out)
+    return out
+
+
 def corpus_dir(
     n_entities: int = 120,
     n_noise: int = 150,
