@@ -277,12 +277,14 @@ def q_lineitem_agg(sf_dir: str):
 def q_top_parts(sf_dir: str):
     """sort + limit with deterministic tie-break."""
     import ray.data as rd
-    from ray.data.aggregate import Sum
+
+    from sqs_entity_resolution_ray.stages.agg import hash_aggregate
 
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
     )
-    agg = ds.groupby("l_partkey").aggregate(Sum("l_quantity", alias_name="total_qty"))
+    agg = hash_aggregate(ds, ["l_partkey"],
+                         {"total_qty": ("l_quantity", "sum")})
     return agg.sort(["total_qty", "l_partkey"], descending=[True, False]).limit(10)
 
 

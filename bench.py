@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Plain run: times the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS, default
+32) and prints ONE JSON line:
+  {"metric": "e2e_sec", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "pages": N,
+   "pages_per_sec": ...}
+
+--scaling: runs the headline pipeline in TWO fresh subprocesses
+(num_cpus=8 then 32) on the same input and reports both throughputs and
+the scaling efficiency — the sandbox stand-in for the north rule's
+N-node vs 4N-node cluster comparison.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+    from sqs_entity_resolution_ray.sources.corpus import pages_from_documents
+
+    # pre-generate the derived pages corpus (cached; untimed) and warm
+    # the page cache so we measure compute + shuffle, not cold reads
+    corpus = pages_from_documents(SF_DIR)
+    for f in ("pages.parquet",):
+        with open(os.path.join(corpus, f), "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    # headline: flagship ER pipeline (pages -> clusters)
+    t0 = time.perf_counter()
+    clusters = queries["resolve_pages"](SF_DIR)
+    headline = time.perf_counter() - t0
+    n_pages = int(clusters["url"].nunique())
+    timings["resolve_pages"] = round(headline, 3)
+
+    # secondary pipelines (each timed once)
+    for name in ("minhash_dedup", "exact_dedup", "simhash_dedup",
+                 "ann_topk", "token_count", "language_id", "quality",
+                 "lineitem_agg", "window_hourly", "event_tallies",
+                 "top_parts"):
+        t0 = time.perf_counter()
+        res = queries[name](SF_DIR)
+        try:  # consume lazily-returned Datasets
+            import ray.data as rd
+
+            if isinstance(res, rd.Dataset):
+                res.count()
+        except Exception:
+            pass
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "e2e_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages": n_pages,
+        "pages_per_sec": round(n_pages / headline, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_headline_subprocess(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--headline-only"],
+        env=env, capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def run_headline_only() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import __ray_entry__ as entrymod
+    from sqs_entity_resolution_ray.sources.corpus import pages_from_documents
+
+    corpus = pages_from_documents(SF_DIR)
+    with open(os.path.join(corpus, "pages.parquet"), "rb") as fh:
+        while fh.read(1 << 24):
+            pass
+    t0 = time.perf_counter()
+    clusters = entrymod.queries()["resolve_pages"](SF_DIR)
+    sec = time.perf_counter() - t0
+    n_pages = int(clusters["url"].nunique())
+    ray.shutdown()
+    return {"sec": round(sec, 3), "pages": n_pages, "num_cpus": NUM_CPUS,
+            "pages_per_sec": round(n_pages / sec, 1)}
+
+
+def run_scaling() -> dict:
+    lo, hi = 8, 32
+    r_lo = run_headline_subprocess(lo)
+    r_hi = run_headline_subprocess(hi)
+    # efficiency: throughput ratio vs ideal CPU ratio
+    eff = (r_hi["pages_per_sec"] / r_lo["pages_per_sec"]) / (hi / lo)
+    return {
+        "metric": "scaling",
+        "sf": SF_DIR,
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["sec"],
+        "sec_hi": r_hi["sec"],
+        "pages_per_sec_lo": r_lo["pages_per_sec"],
+        "pages_per_sec_hi": r_hi["pages_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--headline-only" in sys.argv:
+        print(json.dumps(run_headline_only()))
+    elif "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -242,8 +242,9 @@ def resolve_records(records: rd.Dataset, cfg: PipelineConfig | None = None):
     min-hash labels like the page pipeline."""
     from ..stages.clustering import clusters_with_size, connected_components
 
+    from ..config import partitions_for
+
     cfg = cfg or PipelineConfig()
-    n_part = effective_partitions(cfg)
 
     # coerce to Arrow blocks: Project/rename/join operators expect Arrow
     features = records.map_batches(
@@ -251,15 +252,18 @@ def resolve_records(records: rd.Dataset, cfg: PipelineConfig | None = None):
                                         preserve_index=False),
         batch_format="pandas",
     ).materialize()
+    n_part = partitions_for(features.count(), cfg)
 
     blocks = features.map_batches(emit_blocking_keys, batch_format="pandas")
     pairs = blocks.groupby("block_key").map_groups(
         _pairs_in_blocks, batch_format="pandas"
     )
-    # same pair may emerge from several keys → dedup (first wins)
-    pairs = pairs.groupby(["rec_a", "rec_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    # same pair may emerge from several keys → vectorized hash dedup
+    from ..stages.agg import hash_aggregate
+
+    pairs = hash_aggregate(
+        pairs, ["rec_a", "rec_b"], {"n_keys": ("rec_a", "count")}
+    ).select_columns(["rec_a", "rec_b"])
 
     feat_cols = ["rec_key", "name_full", "name_last", "dob", "dob_swapped",
                  "phone", "email", "ssn", "passport", "drivers_license",

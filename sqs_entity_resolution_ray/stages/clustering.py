@@ -113,9 +113,8 @@ def _init_labels(batch: pa.Table) -> pa.Table:
 
 def _distributed_cc(nodes, edges, cfg: PipelineConfig):
     """Hash-min label propagation to fixpoint via join + groupby-min."""
-    from ray.data.aggregate import Count, Min
+    from ..config import partitions_for
 
-    n_part = effective_partitions(cfg)
     labels = nodes.select_columns(["url"]).map_batches(
         _init_labels, batch_format="pyarrow"
     ).materialize()
@@ -126,6 +125,7 @@ def _distributed_cc(nodes, edges, cfg: PipelineConfig):
         ["url_a", "url_b"]
     )  # normalize column ORDER so union blocks share one schema
     directed = fwd.union(rev).materialize()  # (url_a=src, url_b=dst)
+    n_part = partitions_for(max(directed.count(), labels.count()), cfg)
 
     for _round in range(cfg.max_cc_rounds):
         # candidate labels for dst = current label of src
@@ -135,12 +135,14 @@ def _distributed_cc(nodes, edges, cfg: PipelineConfig):
             num_partitions=n_part,
             on=("url_a",),
         ).select_columns(["url_b", "label"]).rename_columns({"url_b": "url"})
-        new_labels = (
+        from .agg import hash_aggregate
+
+        new_labels = hash_aggregate(
             labels.select_columns(["url", "label"]).union(
-                msgs.select_columns(["url", "label"]))
-            .groupby("url")
-            .aggregate(Min("label", alias_name="label"))
-        ).materialize()
+                msgs.select_columns(["url", "label"])),
+            ["url"], {"label": ("label", "min")},
+            num_partitions=n_part,
+        ).select_columns(["url", "label"]).materialize()
         # fixpoint check: count rows whose label shrank
         cmp = new_labels.rename_columns({"label": "new_label"}).join(
             labels,
@@ -174,19 +176,27 @@ def _distributed_cc(nodes, edges, cfg: PipelineConfig):
     return labels
 
 
+BROADCAST_MAX_ROWS = 5_000_000
+
+
 def clusters_with_size(labels, cfg: PipelineConfig | None = None):
     """labels(url, label) → (url, entity_id: string, cluster_size: int64).
 
     entity_id = zero-padded hex of the component label (deterministic).
+    Cluster sizes come from a two-phase hash aggregate; the (label →
+    size) map is broadcast when small (≤5M entries, the common case),
+    else hash-joined with data-sized partitions.
     """
-    from ray.data.aggregate import Count
+    import ray
+
+    from .agg import hash_aggregate
+    from ..config import partitions_for
 
     cfg = cfg or PipelineConfig()
-    sizes = labels.groupby("label").aggregate(Count(alias_name="cluster_size"))
-    joined = labels.join(
-        sizes, join_type="inner", num_partitions=effective_partitions(cfg),
-        on=("label",),
-    )
+    sizes = hash_aggregate(
+        labels, ["label"], {"cluster_size": ("url", "count")}
+    ).materialize()
+    n_clusters = sizes.count()
 
     def fmt(batch: pa.Table) -> pa.Table:
         lab = batch.column("label").to_numpy(zero_copy_only=False)
@@ -199,4 +209,21 @@ def clusters_with_size(labels, cfg: PipelineConfig | None = None):
             }
         )
 
+    if n_clusters <= BROADCAST_MAX_ROWS:
+        sdf = sizes.to_pandas()
+        ref = ray.put(dict(zip(sdf["label"].astype("int64"),
+                               sdf["cluster_size"].astype("int64"))))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            lab = batch.column("label").to_numpy(zero_copy_only=False)
+            cs = pa.array([int(m[int(x)]) for x in lab], pa.int64())
+            return fmt(batch.append_column("cluster_size", cs))
+
+        return labels.map_batches(attach, batch_format="pyarrow")
+
+    joined = labels.join(
+        sizes, join_type="inner",
+        num_partitions=partitions_for(n_clusters, cfg), on=("label",),
+    )
     return joined.map_batches(fmt, batch_format="pyarrow")

@@ -52,14 +52,12 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text",
             }
         )
 
-    hashed = ds.map_batches(fp, batch_format="pandas")
-    from ray.data.aggregate import Min
+    from .agg import hash_aggregate
 
-    return (
-        hashed.groupby("fp")
-        .aggregate(Min(id_col, alias_name=id_col))
-        .select_columns([id_col])
-    )
+    hashed = ds.map_batches(fp, batch_format="pandas")
+    return hash_aggregate(
+        hashed, ["fp"], {id_col: (id_col, "min")}
+    ).select_columns([id_col])
 
 
 # ------------------------------------------------------------- near-dup --
@@ -98,20 +96,41 @@ def _dedup_from_edges(ids_ds: rd.Dataset, edges: rd.Dataset,
     Returns (doc_id, rep_id, cluster_size); survivors = rows where
     doc_id == rep_id.
     """
+    import ray
+
+    from ..config import partitions_for
     from ..stages.clustering import connected_components
+    from .agg import hash_aggregate
 
     nodes = ids_ds.rename_columns({"doc_id": "url"})
     e = edges.rename_columns({"doc_id_a": "url_a", "doc_id_b": "url_b"})
     labels = connected_components(nodes, e, cfg)
 
-    from ray.data.aggregate import Count, Min
-
     # representative = lexicographic min doc_id per label
-    reps = labels.groupby("label").aggregate(
-        Min("url", alias_name="rep_id"), Count(alias_name="cluster_size")
-    )
+    reps = hash_aggregate(
+        labels, ["label"],
+        {"rep_id": ("url", "min"), "cluster_size": ("url", "count")},
+    ).materialize()
+    n_reps = reps.count()
+    if n_reps <= 5_000_000:  # broadcast the (label → rep, size) map
+        rdf = reps.to_pandas()
+        ref = ray.put({int(l): (r, int(c)) for l, r, c in
+                       zip(rdf["label"], rdf["rep_id"], rdf["cluster_size"])})
+
+        def attach(batch: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            labs = batch.column("label").to_numpy(zero_copy_only=False)
+            rep = [m[int(x)][0] for x in labs]
+            size = [m[int(x)][1] for x in labs]
+            return pa.table({
+                "doc_id": batch.column("url"),
+                "rep_id": pa.array(rep, pa.string()),
+                "cluster_size": pa.array(size, pa.int64()),
+            })
+
+        return labels.map_batches(attach, batch_format="pyarrow")
     joined = labels.join(
-        reps, join_type="inner", num_partitions=effective_partitions(cfg),
+        reps, join_type="inner", num_partitions=partitions_for(n_reps, cfg),
         on=("label",),
     )
     return joined.rename_columns({"url": "doc_id"}).select_columns(

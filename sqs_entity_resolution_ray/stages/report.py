@@ -17,11 +17,15 @@ from ..config import effective_concurrency, effective_partitions, PipelineConfig
 
 def best_scores(edges):
     """edges(url_a, url_b, score) → (url, best_score) per member url."""
-    from ray.data.aggregate import Max
+    from .agg import hash_aggregate
 
     a = edges.select_columns(["url_a", "score"]).rename_columns({"url_a": "url"})
-    b = edges.select_columns(["url_b", "score"]).rename_columns({"url_b": "url"})
-    return a.union(b).groupby("url").aggregate(Max("score", alias_name="best_score"))
+    b = edges.select_columns(["url_b", "score"]).rename_columns(
+        {"url_b": "url"}).select_columns(["url", "score"])
+    return hash_aggregate(
+        a.select_columns(["url", "score"]).union(b),
+        ["url"], {"best_score": ("score", "max")},
+    )
 
 
 RECORD_STRUCT = pa.struct(
@@ -78,8 +82,16 @@ def _build_entity(group: pa.Table) -> pa.Table:
 
 def entity_report(clusters, profiles, edges, cfg: PipelineConfig | None = None):
     """clusters + profiles + edges → nested entity report Dataset."""
+    from ..config import partitions_for
+
     cfg = cfg or PipelineConfig()
-    n_part = effective_partitions(cfg)
+    # profiles is materialized by the pipeline → count is metadata-cheap;
+    # clusters is lazy (counting it would execute the plan twice)
+    try:
+        n_rows = profiles.count()
+    except Exception:
+        n_rows = 0
+    n_part = partitions_for(n_rows, cfg)
     meta = profiles.select_columns(["url", "title", "lang"])
     enriched = clusters.join(meta, join_type="inner", num_partitions=n_part,
                              on=("url",))

@@ -37,7 +37,12 @@ def attach_profiles(pairs, profiles, cfg: PipelineConfig):
         {"url": "url_b", "sig": "sig_b", "simhash": "simhash_b",
          "n_tokens": "n_tokens_b", "title": "title_b"}
     )
-    n_part = effective_partitions(cfg)
+    try:  # profiles is materialized by the pipeline → count is cheap
+        from ..config import partitions_for
+
+        n_part = partitions_for(profiles.count(), cfg)
+    except Exception:
+        n_part = effective_partitions(cfg)
     joined = pairs.join(a, join_type="inner", num_partitions=n_part, on=("url_a",))
     joined = joined.join(b, join_type="inner", num_partitions=n_part, on=("url_b",))
     return joined

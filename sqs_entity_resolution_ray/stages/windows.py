@@ -3,18 +3,19 @@
 Ray Data has no event-time windows (SURVEY §2.8 — neither does the
 reference: pure unordered at-least-once queue). For stream-shaped
 inputs we implement windows the batch way: assign each row its window
-start in a vectorized map_batches (floor of ts), pre-aggregate
-per (key, window) inside each batch, then a small groupby merges
-partials — the combiner pattern, so the shuffle moves one row per
-(key, window, batch) instead of one per event.
+start in a vectorized map_batches (floor of ts), then a two-phase hash
+aggregate (stages/agg.py) — partial per batch, salted single-key
+shuffle, vectorized final merge. (Ray's built-in multi-key
+groupby.aggregate row-merges and is ~5× slower on mostly-unique keys.)
 """
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
+
+from .agg import hash_aggregate
 
 
 def tumbling_window_agg(
@@ -23,6 +24,7 @@ def tumbling_window_agg(
     ts_col: str = "ts",
     value_col: str = "value",
     window: str = "1h",
+    num_partitions: int = 16,
 ) -> rd.Dataset:
     """count + sum(value) per (key, tumbling window).
 
@@ -30,29 +32,17 @@ def tumbling_window_agg(
     """
     freq = window
 
-    def partial(batch: pd.DataFrame) -> pa.Table:
-        df = batch[[key_col, ts_col, value_col]].copy()
-        df["window_start"] = df[ts_col].dt.floor(freq)
-        g = (
-            df.groupby([key_col, "window_start"], sort=False)[value_col]
-            .agg(["count", "sum"])
-            .reset_index()
-        )
-        return pa.table(
-            {
-                key_col: pa.array(g[key_col]),
-                "window_start": pa.array(g["window_start"].astype("datetime64[us]")),
-                "n_events": pa.array(g["count"].astype(np.int64)),
-                "sum_value": pa.array(g["sum"].astype(np.float64)),
-            }
-        )
+    def assign(batch: pd.DataFrame) -> pa.Table:
+        df = batch[[key_col, value_col]].copy()
+        df["window_start"] = batch[ts_col].dt.floor(freq).astype("datetime64[us]")
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    partials = events.map_batches(partial, batch_format="pandas")
-    from ray.data.aggregate import Sum
-
-    return partials.groupby([key_col, "window_start"]).aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Sum("sum_value", alias_name="sum_value"),
+    assigned = events.map_batches(assign, batch_format="pandas")
+    return hash_aggregate(
+        assigned,
+        [key_col, "window_start"],
+        {"n_events": (value_col, "count"), "sum_value": (value_col, "sum")},
+        num_partitions=num_partitions,
     )
 
 

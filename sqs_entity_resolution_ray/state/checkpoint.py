@@ -79,11 +79,29 @@ def write_checkpoint(
     parts = sorted(
         f for f in os.listdir(tmp) if f.endswith(".parquet")
     )
-    count = ds.count()
+    # per-partition metrics from the parquet footers (north rule:
+    # per-partition lineage + metrics)
+    import pyarrow.parquet as pq
+
+    partition_stats = []
+    count = 0
+    for i, part in enumerate(parts):
+        fp = os.path.join(tmp, part)
+        md = pq.read_metadata(fp)
+        partition_stats.append(
+            {
+                "partition_id": i,
+                "file": part,
+                "rows": md.num_rows,
+                "bytes": os.path.getsize(fp),
+            }
+        )
+        count += md.num_rows
     manifest = {
         "fingerprint": fingerprint,
         "row_count": count,
         "partitions": parts,
+        "partition_stats": partition_stats,
         "extra": extra or {},
     }
     with open(os.path.join(tmp, MANIFEST_NAME), "w") as f:
