@@ -56,9 +56,12 @@ class MatchConfig:
 class PipelineConfig:
     """Operational knobs (batching, skew handling, checkpointing)."""
 
-    # batch sizes per stage (rows per map_batches call)
-    extract_batch_size: int = 1024
-    signature_batch_size: int = 1024
+    # batch sizes per stage (rows per map_batches call). Extraction is
+    # ~5-7 ms/page of per-doc regex work: smaller batches → more tasks →
+    # the task pool actually fills the cluster (measured 13.4s → 4.7s on
+    # a 10k-page corpus at 32 CPUs with 256-row batches).
+    extract_batch_size: int = 256
+    signature_batch_size: int = 256
     scorer_batch_size: int = 4096
     # actor pool for the pair scorer (reference T1: one engine per worker
     # process — consumer.py:151-163); here: one scorer state per actor.

@@ -26,7 +26,7 @@ import ray.data as rd
 from ..config import effective_concurrency, effective_partitions, MatchConfig, PipelineConfig
 from ..stages.blocking import candidate_pairs
 from ..stages.clustering import clusters_with_size, connected_components
-from ..stages.extract import ProfileBatch, dedup_profiles_by_url, extract_batch
+from ..stages.extract import dedup_profiles_by_url, extract_batch, profile_batch
 from ..stages.scoring import matched_edges, score_pairs
 
 
@@ -74,11 +74,10 @@ def build_profiles(pages, match_cfg: MatchConfig, cfg: PipelineConfig,
         extracted.write_parquet(extracted_sink)
         extracted = rd.read_parquet(extracted_sink)
     profiles = extracted.map_batches(
-        ProfileBatch,
-        fn_constructor_kwargs={"match_cfg": match_cfg},
+        profile_batch,
+        fn_kwargs={"match_cfg": match_cfg},
         batch_format="pyarrow",
         batch_size=cfg.signature_batch_size,
-        concurrency=effective_concurrency(cfg),
     )
     return dedup_profiles_by_url(profiles)
 

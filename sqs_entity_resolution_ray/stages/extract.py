@@ -93,17 +93,39 @@ def dedup_profiles_by_url(profiles):
     last fetch of a url wins. Runs AFTER profiling so only narrow profile
     rows cross the shuffle — never html or text.
     """
-    def keep_latest(group: pa.Table) -> pa.Table:
-        if group.num_rows == 1:
-            return group
-        # deterministic even when warc_ts ties: break on simhash
-        order = pa.compute.sort_indices(
-            group,
-            sort_keys=[("warc_ts", "descending"), ("simhash", "descending")],
-        )
-        return group.take(order[:1])
+    import pandas as pd
 
-    return profiles.groupby("url").map_groups(keep_latest, batch_format="pyarrow")
+    num_parts = 64
+
+    def local_dedup(df: pd.DataFrame) -> pa.Table:
+        # within-batch dedup first (combiner: most dup urls land in the
+        # same read fragment), deterministic tie-break on simhash
+        df = df.sort_values(["url", "warc_ts", "simhash"]).drop_duplicates(
+            "url", keep="last"
+        )
+        part = pd.util.hash_pandas_object(df["url"], index=False)
+        df = df.assign(part=(part % np.uint64(num_parts)).astype(np.int64))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(["url", "warc_ts", "simhash"]).drop_duplicates(
+            "url", keep="last"
+        ).drop(columns=["part"])
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        profiles.map_batches(local_dedup, batch_format="pandas")
+        .groupby("part")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def profile_batch(batch: pa.Table, *, match_cfg: MatchConfig | None = None,
+                  seed: int = 42) -> pa.Table:
+    """Stateless task-pool form of :class:`ProfileBatch` — sketching has
+    no expensive per-worker setup, so elastic tasks beat a fixed actor
+    pool (the actor-pool pattern is reserved for the pair scorer, T1)."""
+    return ProfileBatch(match_cfg, seed)(batch)
 
 
 EXTRACT_STAGE_VERSION = EXTRACTOR_VERSION
