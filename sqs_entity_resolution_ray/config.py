@@ -24,6 +24,10 @@ class MatchConfig:
 
     # shingling
     shingle_k: int = 3              # tokens per shingle
+    # per-doc bottom-k shingle cap (0 = unlimited): bounds sketch cost on
+    # arbitrarily long pages; bottom-k is permutation-invariant so
+    # near-dups keep near-identical subsets
+    max_shingles: int = 2048
     # MinHash-LSH geometry: num_perm = bands * rows_per_band
     num_perm: int = 128
     lsh_bands: int = 32

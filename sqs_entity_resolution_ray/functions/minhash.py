@@ -86,6 +86,32 @@ def shingle_doc_hashes(
     return flat, offsets
 
 
+def bottom_k_shingles(
+    flat: np.ndarray, offsets: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc bottom-k (smallest hash values) shingle subset.
+
+    Bounds per-doc sketching cost on arbitrarily long documents. The
+    bottom-k of a hashed set is permutation-invariant and content-stable,
+    so near-duplicate docs keep near-identical subsets; downstream
+    MinHash/SimHash then estimate Jaccard of the bottom-k sets — the
+    standard bounded-cost variant.
+    """
+    n = len(offsets) - 1
+    lens = np.diff(offsets)
+    if n == 0 or int(lens.max(initial=0)) <= k:
+        return flat, offsets
+    pos_doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+    order = np.lexsort((flat, pos_doc))  # by doc, then ascending value
+    within = np.arange(len(flat)) - np.repeat(offsets[:-1], lens)
+    keep = within < k  # first k of each (sorted) doc segment
+    new_flat = flat[order][keep]
+    new_lens = np.minimum(lens, k)
+    new_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(new_lens, out=new_offsets[1:])
+    return new_flat, new_offsets
+
+
 def minhash_signatures(
     flat: np.ndarray, offsets: np.ndarray, num_perm: int, seed: int = 42
 ) -> np.ndarray:

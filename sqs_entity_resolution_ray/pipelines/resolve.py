@@ -100,8 +100,11 @@ def resolve(pages, match_cfg: MatchConfig | None = None,
     match_cfg = match_cfg or MatchConfig()
     cfg = cfg or PipelineConfig()
     profiles = build_profiles(pages, match_cfg, cfg, extracted_sink).materialize()
-    pairs = candidate_pairs(profiles, match_cfg, cfg)
-    scored = score_pairs(pairs, profiles, match_cfg, cfg)
+    # pairs are narrow (two urls + an int) — materializing them is cheap
+    # and lets the profile join size its partitions by the pair count
+    pairs = candidate_pairs(profiles, match_cfg, cfg).materialize()
+    scored = score_pairs(pairs, profiles, match_cfg, cfg,
+                         n_pairs=pairs.count())
     edges = matched_edges(scored).materialize()
     labels = connected_components(profiles, edges, cfg, algorithm=cc_algorithm)
     clusters = clusters_with_size(labels, cfg)

@@ -32,7 +32,7 @@ import pyarrow.parquet as pq
 from ..functions.hashing import stable_rng
 from ..functions.html_extract import extract_text
 
-CORPUS_VERSION = 3
+CORPUS_VERSION = 4
 
 # Fixed 512-word vocabulary (deterministic, generated from a seeded walk
 # over consonant-vowel syllables — no external wordlist).
@@ -317,6 +317,8 @@ def generate_corpus(
 def pages_from_documents(
     sf_dir: str,
     variants_per_doc: int = 3,
+    repeat_docs: int = 1,
+    pad_tokens: int = 0,
     root: str = "/tmp/ser_ray_docpages",
 ) -> str:
     """Derive a deterministic pages corpus from a testdata documents table.
@@ -331,7 +333,8 @@ def pages_from_documents(
     import hashlib
 
     st = os.stat(doc_path)
-    key = f"{os.path.abspath(sf_dir)}|{st.st_size}|{variants_per_doc}"
+    key = (f"{os.path.abspath(sf_dir)}|{st.st_size}|{variants_per_doc}|"
+           f"{repeat_docs}|{pad_tokens}")
     tag = f"v{CORPUS_VERSION}_{hashlib.sha256(key.encode()).hexdigest()[:12]}"
     out = os.path.join(root, tag)
     marker = os.path.join(out, "_COMPLETE")
@@ -339,14 +342,43 @@ def pages_from_documents(
         return out
 
     docs = pq.read_table(doc_path, columns=["doc_id", "text", "lang"])
-    doc_ids = docs.column("doc_id").to_pylist()
-    texts = docs.column("text").to_pylist()
-    langs = docs.column("lang").to_pylist()
-    rng = stable_rng(f"docpages-{variants_per_doc}")
+    base_ids = docs.column("doc_id").to_pylist()
+    base_texts = docs.column("text").to_pylist()
+    base_langs = docs.column("lang").to_pylist()
+    rng = stable_rng(f"docpages-{variants_per_doc}-{repeat_docs}")
+
+    # repeat_docs amplifies the corpus for throughput/scaling runs; each
+    # repeat is heavily re-tokenized (35% token substitution) so repeats
+    # do NOT near-dup into each other — cluster sizes stay realistic
+    doc_ids, texts, langs = [], [], []
+    max_id = (max(base_ids) + 1) if base_ids else 0
+    rep_rng = stable_rng(f"docpages-repeat-{repeat_docs}")
+    for r in range(repeat_docs):
+        for d, text, lang in zip(base_ids, base_texts, base_langs):
+            doc_ids.append(d + r * max_id)
+            if r == 0:
+                texts.append(text)
+            else:
+                toks = (text or "").split()
+                texts.append(" ".join(_perturb_tokens(toks, 0.35, rep_rng)))
+            langs.append(lang)
+
+    # optional per-doc padding to realistic web-page weight (~8 KB html
+    # at 1600 tokens); the pad is unique per doc (vocab draws seeded by
+    # doc id) so it adds compute without adding cross-doc similarity,
+    # and variants share it (they perturb the padded text)
+    pad_rng = stable_rng(f"docpages-pad-{pad_tokens}")
+    vocab_arr = np.array(_VOCAB)
+    pads: list[list[str]] = []
+    if pad_tokens > 0:
+        idx = pad_rng.integers(0, len(vocab_arr), size=(len(doc_ids), pad_tokens))
+        pads = [list(vocab_arr[row]) for row in idx]
 
     urls, tss, htmls, crawler_texts, out_langs, entity_of = [], [], [], [], [], []
-    for d, text, lang in zip(doc_ids, texts, langs):
+    for di, (d, text, lang) in enumerate(zip(doc_ids, texts, langs)):
         toks = (text or "").split()
+        if pad_tokens > 0:
+            toks = toks + pads[di]
         n_var = 1 + int(d) % variants_per_doc
         title = " ".join(toks[:5]) if toks else f"document {d}"
         for v in range(n_var):

@@ -1,25 +1,31 @@
-"""LSH blocking: band emission → salted groupby → candidate pairs.
+"""LSH blocking: band emission → partitioned block scan → candidate pairs.
 
 The distributed replacement for Senzing's shared candidate index in
 Postgres (SURVEY.md §2.4 J2; behavior implied by MATCH_KEYs in reference
 ``test/fixtures/flow-output.jsonl``). Design decisions for 100 TB scale:
 
-- Band rows are NARROW: ``(band_key, url, bands)`` — signatures and
-  titles do NOT ride the band shuffle; they are joined back onto the
-  (much smaller) deduped pair list afterwards.
+- Band rows are NARROW: ``(part, band_key, url, bands)`` — signatures
+  and titles do NOT ride the band shuffle; they are joined back onto the
+  (much smaller) pair list afterwards (stages/scoring.py).
+- ONE Python call per partition, not per block: rows are hash-bucketed
+  by ``part = band_key % P`` so a single ``map_groups`` call receives a
+  whole partition; block boundaries inside it are found with a
+  vectorized argsort and only multi-member blocks (the near-dup sets +
+  rare collisions — a tiny fraction of all band keys) are touched in
+  Python. The naive ``groupby(band_key).map_groups`` alternative makes
+  one Python call per band key — millions of calls at 10^5 docs, the
+  measured scaling cliff.
 - Pair dedup is free: a pair is emitted only from the FIRST band where
   both docs collide (each band row carries the doc's full band-key
-  vector, 8·lsh_bands bytes), so no second shuffle is needed to dedupe
-  pairs produced by multiple bands.
+  vector, 8·lsh_bands bytes), so no second shuffle dedups pairs.
 - Skew: any block larger than ``max_block_size`` is split into
   deterministic sorted chunks with one overlapping member between
-  consecutive chunks. Pair enumeration is O(chunk²) instead of O(block²)
-  and the overlap preserves transitive connectivity, so a genuinely
-  near-duplicate mega-cluster (template farm) still resolves into ONE
-  entity. Split/emitted/capped counts are returned in the pair rows'
-  ``block_size`` column and aggregated into per-partition metrics.
-  (The reference has no app-level skew handling — hot entities serialize
-  on Postgres row locks; the north rule demands it explicitly.)
+  consecutive chunks. Pair enumeration is O(chunk²) instead of
+  O(block²) and the overlap preserves transitive connectivity, so a
+  genuinely near-duplicate mega-cluster (template farm) still resolves
+  into ONE entity. Block sizes surface in the ``block_size`` column.
+  (The reference has no app-level skew handling — hot entities
+  serialize on Postgres row locks; the north rule demands it.)
 """
 
 from __future__ import annotations
@@ -29,17 +35,28 @@ import pyarrow as pa
 
 from ..config import MatchConfig, PipelineConfig
 
+# partition count for the band shuffle (each partition is scanned by one
+# task; 256 keeps partitions ≤ a few hundred MB up to ~10^9 band rows —
+# raise via PipelineConfig.shuffle_partitions for larger runs)
+BAND_PARTITIONS = 64
 
-def emit_band_rows(batch: pa.Table, *, lsh_bands: int) -> pa.Table:
-    """profiles → exploded band rows (band_key, url, bands).
+_EMPTY_PAIRS = pa.table(
+    {
+        "url_a": pa.array([], pa.string()),
+        "url_b": pa.array([], pa.string()),
+        "block_size": pa.array([], pa.int32()),
+    }
+)
 
-    ``bands`` (the doc's full band-key vector) rides along so pair
-    enumeration can apply the emit-once rule without a join.
-    """
+
+def emit_band_rows(batch: pa.Table, *, lsh_bands: int,
+                   num_parts: int = BAND_PARTITIONS) -> pa.Table:
+    """profiles → exploded band rows (part, band_key, url, bands)."""
     n = batch.num_rows
     if n == 0:
         return pa.table(
             {
+                "part": pa.array([], pa.int64()),
                 "band_key": pa.array([], pa.uint64()),
                 "url": pa.array([], pa.string()),
                 "bands": pa.array([], pa.binary()),
@@ -47,91 +64,105 @@ def emit_band_rows(batch: pa.Table, *, lsh_bands: int) -> pa.Table:
         )
     band_blobs = batch.column("bands").to_pylist()
     mat = np.frombuffer(b"".join(band_blobs), dtype="<u8").reshape(n, lsh_bands)
-    urls = batch.column("url")
+    keys = mat.reshape(-1)
     idx = np.repeat(np.arange(n), lsh_bands)
     return pa.table(
         {
-            "band_key": pa.array(mat.reshape(-1), pa.uint64()),
-            "url": urls.take(pa.array(idx)),
+            "part": pa.array((keys % np.uint64(num_parts)).astype(np.int64),
+                             pa.int64()),
+            "band_key": pa.array(keys, pa.uint64()),
+            "url": batch.column("url").take(pa.array(idx)),
             "bands": pa.array([band_blobs[i] for i in idx], pa.binary()),
         }
     )
 
 
-class PairEnumerator:
-    """``map_groups`` body over one (possibly salted) LSH block."""
+def _pairs_for_block(urls: list[str], mat: np.ndarray, band_key: int,
+                     cfg: PipelineConfig, out_a: list, out_b: list,
+                     out_size: list) -> None:
+    """Enumerate one block (members already sorted by url); appends to
+    the output lists. Applies emit-once + salted chunking."""
+    n = len(urls)
+    this_band = int(np.argmax(mat[0] == np.uint64(band_key)))
+    max_s = cfg.max_block_size
+    if n <= max_s:
+        chunks = [range(n)]
+    else:
+        chunks = []
+        s = 0
+        while s < n - 1:
+            e = min(s + max_s, n)
+            chunks.append(range(s, e))
+            if e == n:
+                break
+            s = e - 1  # overlap one member → connectivity preserved
+    emitted = 0
+    for ch in chunks:
+        mem = list(ch)
+        for x in range(len(mem)):
+            i = mem[x]
+            mi = mat[i]
+            for y in range(x + 1, len(mem)):
+                j = mem[y]
+                first = int(np.argmax(mi == mat[j]))
+                # pairs colliding in an earlier band are that band's job
+                if first != this_band or mi[first] != mat[j][first]:
+                    continue
+                out_a.append(urls[i])
+                out_b.append(urls[j])
+                emitted += 1
+                if emitted >= cfg.max_pairs_per_block:
+                    break
+            if emitted >= cfg.max_pairs_per_block:
+                break
+    out_size.extend([n] * emitted)
+
+
+class PartitionPairEnumerator:
+    """``map_groups`` body over ONE hash partition of band rows."""
 
     def __init__(self, cfg: PipelineConfig | None = None, lsh_bands: int = 32):
         self.cfg = cfg or PipelineConfig()
         self.lsh_bands = lsh_bands
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        cfg = self.cfg
         n = group.num_rows
-        empty = pa.table(
-            {
-                "url_a": pa.array([], pa.string()),
-                "url_b": pa.array([], pa.string()),
-                "block_size": pa.array([], pa.int32()),
-            }
-        )
         if n < 2:
-            return empty
-        band_key = group.column("band_key")[0].as_py()
-        urls = group.column("url").to_pylist()
-        blobs = group.column("bands").to_pylist()
-        order = np.argsort(urls)  # deterministic member order
-        urls = [urls[i] for i in order]
-        mat = np.frombuffer(b"".join(blobs[i] for i in order), dtype="<u8").reshape(
-            n, self.lsh_bands
-        )
-        # emit-once rule: this block is responsible for a pair only if the
-        # FIRST band where the two docs collide is this band_key's band.
-        # (equal band keys in different band positions cannot collide
-        # because the band id is folded into the key — minhash.band_keys)
-        this_band = int(np.argmax(mat[0] == np.uint64(band_key)))
-
+            return _EMPTY_PAIRS
+        keys = group.column("band_key").to_numpy(zero_copy_only=False)
+        # vectorized block detection: sort rows by band_key, find runs
+        order = np.argsort(keys, kind="stable")
+        sorted_keys = keys[order]
+        boundaries = np.flatnonzero(sorted_keys[1:] != sorted_keys[:-1]) + 1
+        starts = np.concatenate(([0], boundaries))
+        ends = np.concatenate((boundaries, [n]))
+        sizes = ends - starts
+        multi = np.flatnonzero(sizes >= 2)
+        if len(multi) == 0:
+            return _EMPTY_PAIRS
+        urls_all = group.column("url").to_pylist()
+        blobs_all = group.column("bands").to_pylist()
         out_a: list[str] = []
         out_b: list[str] = []
-        # salted chunking with 1-member overlap keeps connectivity
-        max_s = cfg.max_block_size
-        chunks: list[range] = []
-        if n <= max_s:
-            chunks = [range(0, n)]
-        else:
-            start = 0
-            while start < n - 1:
-                end = min(start + max_s, n)
-                chunks.append(range(start, end))
-                if end == n:
-                    break
-                start = end - 1  # overlap one member
-        for ch in chunks:
-            members = list(ch)
-            for ii in range(len(members)):
-                i = members[ii]
-                mi = mat[i]
-                for jj in range(ii + 1, len(members)):
-                    j = members[jj]
-                    first = int(np.argmax(mi == mat[j]))
-                    # pairs colliding in an earlier band are that band's job
-                    if first != this_band or mi[first] != mat[j][first]:
-                        continue
-                    out_a.append(urls[i])
-                    out_b.append(urls[j])
-                    if len(out_a) >= cfg.max_pairs_per_block:
-                        break
-                if len(out_a) >= cfg.max_pairs_per_block:
-                    break
+        out_size: list[int] = []
+        for g in multi:
+            members = order[starts[g]:ends[g]]
+            urls = [urls_all[i] for i in members]
+            uorder = np.argsort(urls)  # deterministic member order
+            urls = [urls[i] for i in uorder]
+            mat = np.frombuffer(
+                b"".join(blobs_all[members[i]] for i in uorder), dtype="<u8"
+            ).reshape(len(members), self.lsh_bands)
+            _pairs_for_block(urls, mat, int(sorted_keys[starts[g]]),
+                             self.cfg, out_a, out_b, out_size)
         if not out_a:
-            return empty
+            return _EMPTY_PAIRS
         return pa.table(
             {
                 "url_a": pa.array(out_a, pa.string()),
                 "url_b": pa.array(out_b, pa.string()),
-                "block_size": pa.array(
-                    np.full(len(out_a), n, dtype=np.int32), pa.int32()
-                ),
+                "block_size": pa.array(np.asarray(out_size, dtype=np.int32),
+                                       pa.int32()),
             }
         )
 
@@ -143,11 +174,11 @@ def candidate_pairs(profiles, match_cfg: MatchConfig, cfg: PipelineConfig):
         batch_format="pyarrow",
         fn_kwargs={"lsh_bands": match_cfg.lsh_bands},
     )
-    enumerator = PairEnumerator(cfg, match_cfg.lsh_bands)
+    enumerator = PartitionPairEnumerator(cfg, match_cfg.lsh_bands)
 
-    def enumerate_block(group: pa.Table) -> pa.Table:
+    def enumerate_partition(group: pa.Table) -> pa.Table:
         return enumerator(group)
 
-    return bands.groupby("band_key").map_groups(
-        enumerate_block, batch_format="pyarrow"
+    return bands.groupby("part").map_groups(
+        enumerate_partition, batch_format="pyarrow"
     )

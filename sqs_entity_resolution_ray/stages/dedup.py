@@ -26,6 +26,7 @@ from ..config import MatchConfig, PipelineConfig, effective_partitions
 from ..functions.hashing import hash_str_array, stable_rng
 from ..functions.minhash import (
     band_keys,
+    bottom_k_shingles,
     minhash_signatures,
     shingle_doc_hashes,
 )
@@ -69,6 +70,8 @@ def _doc_sketches(ds: rd.Dataset, text_col: str, id_col: str,
     def sketch(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         flat, off = shingle_doc_hashes(texts, mc.shingle_k)
+        if mc.max_shingles:
+            flat, off = bottom_k_shingles(flat, off, mc.max_shingles)
         sig = minhash_signatures(flat, off, mc.num_perm, seed=seed)
         bands = band_keys(sig, mc.lsh_bands, mc.lsh_rows)
         sh = simhash_from_shingles(flat, off)
@@ -181,18 +184,24 @@ def _sketch_pairs(sketches: rd.Dataset, mc: MatchConfig,
     Unlike the page pipeline (which re-joins profiles to keep the band
     shuffle narrow), this carries signatures through the band shuffle —
     the right trade below ~10^8 docs per run; above that, switch to the
-    join plan in stages/scoring.py.
+    join plan in stages/scoring.py. Partition-level enumeration (one
+    Python call per hash partition, vectorized block detection) like
+    stages/blocking.py.
     """
+    from .blocking import BAND_PARTITIONS, _pairs_for_block
+
     lsh_bands = mc.lsh_bands
 
     def emit(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         blobs = batch.column("bands").to_pylist()
         mat = np.frombuffer(b"".join(blobs), dtype="<u8").reshape(n, lsh_bands) if n else np.empty((0, lsh_bands))
+        keys = mat.reshape(-1).astype(np.uint64)
         idx = np.repeat(np.arange(n), lsh_bands)
         return pa.table(
             {
-                "band_key": pa.array(mat.reshape(-1).astype(np.uint64), pa.uint64()),
+                "part": pa.array((keys % np.uint64(BAND_PARTITIONS)).astype(np.int64), pa.int64()),
+                "band_key": pa.array(keys, pa.uint64()),
                 "doc_id": batch.column("doc_id").take(pa.array(idx)),
                 "bands": pa.array([blobs[i] for i in idx], pa.binary()),
                 "sig": batch.column("sig").take(pa.array(idx)),
@@ -200,60 +209,52 @@ def _sketch_pairs(sketches: rd.Dataset, mc: MatchConfig,
         )
 
     band_rows = sketches.map_batches(emit, batch_format="pyarrow")
+    empty = pa.table({"doc_id_a": pa.array([], pa.string()),
+                      "doc_id_b": pa.array([], pa.string()),
+                      "sig_a": pa.array([], pa.binary()),
+                      "sig_b": pa.array([], pa.binary())})
 
-    max_block = cfg.max_block_size
-
-    def pairs_in_block(group: pa.Table) -> pa.Table:
+    def pairs_in_partition(group: pa.Table) -> pa.Table:
         n = group.num_rows
-        empty = pa.table({"doc_id_a": pa.array([], pa.string()),
-                          "doc_id_b": pa.array([], pa.string()),
-                          "sig_a": pa.array([], pa.binary()),
-                          "sig_b": pa.array([], pa.binary())})
         if n < 2:
             return empty
-        ids = group.column("doc_id").to_pylist()
-        all_blobs = group.column("bands").to_pylist()
-        all_sigs = group.column("sig").to_pylist()
-        order = np.argsort(ids)
-        ids = [ids[i] for i in order]
-        blobs = [all_blobs[i] for i in order]
-        sigs = [all_sigs[i] for i in order]
-        mat = np.frombuffer(b"".join(blobs), dtype="<u8").reshape(n, lsh_bands)
-        band_key = group.column("band_key")[0].as_py()
-        this_band = int(np.argmax(mat[0] == np.uint64(band_key)))
-        out_a, out_b, sa, sb = [], [], [], []
-        # salted chunking with 1-overlap (same skew policy as blocking.py)
-        chunks = []
-        if n <= max_block:
-            chunks = [range(n)]
-        else:
-            s = 0
-            while s < n - 1:
-                e = min(s + max_block, n)
-                chunks.append(range(s, e))
-                if e == n:
-                    break
-                s = e - 1
-        for ch in chunks:
-            mem = list(ch)
-            for x in range(len(mem)):
-                i = mem[x]
-                for y in range(x + 1, len(mem)):
-                    j = mem[y]
-                    first = int(np.argmax(mat[i] == mat[j]))
-                    if first != this_band or mat[i][first] != mat[j][first]:
-                        continue
-                    out_a.append(ids[i]); out_b.append(ids[j])
-                    sa.append(sigs[i]); sb.append(sigs[j])
+        keys = group.column("band_key").to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        bounds = np.flatnonzero(sk[1:] != sk[:-1]) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [n]))
+        multi = np.flatnonzero(ends - starts >= 2)
+        if len(multi) == 0:
+            return empty
+        ids_all = group.column("doc_id").to_pylist()
+        blobs_all = group.column("bands").to_pylist()
+        sigs_all = group.column("sig").to_pylist()
+        sig_of = dict(zip(ids_all, sigs_all))
+        out_a: list[str] = []
+        out_b: list[str] = []
+        out_size: list[int] = []
+        for g in multi:
+            members = order[starts[g]:ends[g]]
+            ids = [ids_all[i] for i in members]
+            uorder = np.argsort(ids)
+            ids = [ids[i] for i in uorder]
+            mat = np.frombuffer(
+                b"".join(blobs_all[members[i]] for i in uorder), dtype="<u8"
+            ).reshape(len(members), lsh_bands)
+            _pairs_for_block(ids, mat, int(sk[starts[g]]), cfg,
+                             out_a, out_b, out_size)
         if not out_a:
             return empty
-        return pa.table({"doc_id_a": pa.array(out_a, pa.string()),
-                         "doc_id_b": pa.array(out_b, pa.string()),
-                         "sig_a": pa.array(sa, pa.binary()),
-                         "sig_b": pa.array(sb, pa.binary())})
+        return pa.table({
+            "doc_id_a": pa.array(out_a, pa.string()),
+            "doc_id_b": pa.array(out_b, pa.string()),
+            "sig_a": pa.array([sig_of[i] for i in out_a], pa.binary()),
+            "sig_b": pa.array([sig_of[i] for i in out_b], pa.binary()),
+        })
 
-    return band_rows.groupby("band_key").map_groups(
-        pairs_in_block, batch_format="pyarrow"
+    return band_rows.groupby("part").map_groups(
+        pairs_in_partition, batch_format="pyarrow"
     )
 
 
@@ -268,6 +269,8 @@ def simhash_dedup(ds: rd.Dataset, text_col: str = "text",
     cfg = cfg or PipelineConfig()
     sketches = _doc_sketches(ds, text_col, id_col, mc).materialize()
 
+    from .blocking import BAND_PARTITIONS
+
     def emit(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         sh = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -275,10 +278,12 @@ def simhash_dedup(ds: rd.Dataset, text_col: str = "text",
         for chunk in range(4):
             part = (sh >> np.uint64(16 * chunk)) & np.uint64(0xFFFF)
             keys.append(part.astype(np.uint64) | (np.uint64(chunk) << np.uint64(32)))
+        allk = np.concatenate(keys) if n else np.empty(0, dtype=np.uint64)
         idx = np.tile(np.arange(n), 4)
         return pa.table(
             {
-                "bucket": pa.array(np.concatenate(keys), pa.uint64()),
+                "part": pa.array((allk % np.uint64(BAND_PARTITIONS)).astype(np.int64), pa.int64()),
+                "bucket": pa.array(allk, pa.uint64()),
                 "doc_id": batch.column("doc_id").take(pa.array(idx)),
                 "simhash": batch.column("simhash").take(pa.array(idx)),
             }
@@ -287,34 +292,45 @@ def simhash_dedup(ds: rd.Dataset, text_col: str = "text",
     buckets = sketches.map_batches(emit, batch_format="pyarrow")
     max_block = cfg.max_block_size
 
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+    def pairs_in_partition(group: pa.Table) -> pa.Table:
         n = group.num_rows
         empty = pa.table({"doc_id_a": pa.array([], pa.string()),
                           "doc_id_b": pa.array([], pa.string())})
         if n < 2:
             return empty
-        ids = group.column("doc_id").to_pylist()
-        order = np.argsort(ids)
-        ids = [ids[i] for i in order]
-        sh = group.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)[order]
+        keys = group.column("bucket").to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        bounds = np.flatnonzero(sk[1:] != sk[:-1]) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [n]))
+        multi = np.flatnonzero(ends - starts >= 2)
+        if len(multi) == 0:
+            return empty
+        ids_all = group.column("doc_id").to_pylist()
+        sh_all = group.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
         out_a, out_b = [], []
-        cap = min(n, max_block * 4)
-        for i in range(cap):
-            hd = hamming64(np.full(cap - i - 1, sh[i], dtype=np.uint64),
-                           sh[i + 1:cap])
-            for off in np.flatnonzero(hd <= max_hamming):
-                j = i + 1 + int(off)
-                if ids[i] < ids[j]:
+        for g in multi:
+            members = order[starts[g]:ends[g]]
+            ids = [ids_all[i] for i in members]
+            uorder = np.argsort(ids)
+            ids = [ids[i] for i in uorder]
+            sh = sh_all[members][uorder]
+            m = len(ids)
+            cap = min(m, max_block * 4)
+            for i in range(cap):
+                hd = hamming64(np.full(cap - i - 1, sh[i], dtype=np.uint64),
+                               sh[i + 1:cap])
+                for off in np.flatnonzero(hd <= max_hamming):
+                    j = i + 1 + int(off)
                     out_a.append(ids[i]); out_b.append(ids[j])
-                else:
-                    out_a.append(ids[j]); out_b.append(ids[i])
         if not out_a:
             return empty
         return pa.table({"doc_id_a": pa.array(out_a, pa.string()),
                          "doc_id_b": pa.array(out_b, pa.string())})
 
-    pairs = buckets.groupby("bucket").map_groups(
-        pairs_in_bucket, batch_format="pyarrow"
+    pairs = buckets.groupby("part").map_groups(
+        pairs_in_partition, batch_format="pyarrow"
     )
     # pairs can repeat across chunks → CC handles duplicates harmlessly
     return _dedup_from_edges(sketches.select_columns(["doc_id"]), pairs, cfg)
@@ -403,9 +419,13 @@ def embedding_dedup(ds: rd.Dataset, emb_col: str = "embedding",
             out_bucket.append(code | (np.uint64(s) << np.uint64(32)))
             out_idx.append(np.arange(n))
         idx = np.concatenate(out_idx)
+        allb = np.concatenate(out_bucket)
+        from .blocking import BAND_PARTITIONS
+
         return pa.table(
             {
-                "bucket": pa.array(np.concatenate(out_bucket), pa.uint64()),
+                "part": pa.array((allb % np.uint64(BAND_PARTITIONS)).astype(np.int64), pa.int64()),
+                "bucket": pa.array(allb, pa.uint64()),
                 "vec_id": ids.take(pa.array(idx)),
                 "embedding": batch.column(emb_col).take(pa.array(idx)),
             }
@@ -414,32 +434,48 @@ def embedding_dedup(ds: rd.Dataset, emb_col: str = "embedding",
     buckets = ds.map_batches(emit, batch_format="pyarrow")
     max_block = cfg.max_block_size
 
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+    def pairs_in_partition(group: pa.Table) -> pa.Table:
         n = group.num_rows
         empty = pa.table({"doc_id_a": pa.array([], pa.string()),
                           "doc_id_b": pa.array([], pa.string())})
         if n < 2:
             return empty
-        ids = group.column("vec_id").to_pylist()
-        order = np.argsort(ids)
-        ids = [ids[i] for i in order]
-        embs = np.asarray(group.column("embedding").to_pylist(),
-                          dtype=np.float32)[order]
-        unit = embs / np.maximum(np.linalg.norm(embs, axis=1, keepdims=True),
-                                 1e-12)
-        cap = min(n, max_block * 4)
-        sims = unit[:cap] @ unit[:cap].T
-        ii, jj = np.triu_indices(cap, k=1)
-        keep = sims[ii, jj] >= threshold
-        if not keep.any():
+        keys = group.column("bucket").to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        bounds = np.flatnonzero(sk[1:] != sk[:-1]) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [n]))
+        multi = np.flatnonzero(ends - starts >= 2)
+        if len(multi) == 0:
+            return empty
+        ids_all = group.column("vec_id").to_pylist()
+        embs_all = np.asarray(group.column("embedding").to_pylist(),
+                              dtype=np.float32)
+        out_a, out_b = [], []
+        for g in multi:
+            members = order[starts[g]:ends[g]]
+            ids = [ids_all[i] for i in members]
+            uorder = np.argsort(ids)
+            ids = [ids[i] for i in uorder]
+            embs = embs_all[members][uorder]
+            unit = embs / np.maximum(
+                np.linalg.norm(embs, axis=1, keepdims=True), 1e-12)
+            cap = min(len(ids), max_block * 4)
+            sims = unit[:cap] @ unit[:cap].T
+            ii, jj = np.triu_indices(cap, k=1)
+            keep = sims[ii, jj] >= threshold
+            out_a.extend(ids[i] for i in ii[keep])
+            out_b.extend(ids[j] for j in jj[keep])
+        if not out_a:
             return empty
         return pa.table({
-            "doc_id_a": pa.array([ids[i] for i in ii[keep]], pa.string()),
-            "doc_id_b": pa.array([ids[j] for j in jj[keep]], pa.string()),
+            "doc_id_a": pa.array(out_a, pa.string()),
+            "doc_id_b": pa.array(out_b, pa.string()),
         })
 
-    pairs = buckets.groupby("bucket").map_groups(
-        pairs_in_bucket, batch_format="pyarrow"
+    pairs = buckets.groupby("part").map_groups(
+        pairs_in_partition, batch_format="pyarrow"
     )
     ids_ds = ds.map_batches(
         lambda t: pa.table({"doc_id": pc.cast(t.column(id_col), pa.string())}),

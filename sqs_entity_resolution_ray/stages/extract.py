@@ -16,7 +16,8 @@ import pyarrow as pa
 
 from ..config import MatchConfig
 from ..functions.html_extract import EXTRACTOR_VERSION, extract_text, extract_title
-from ..functions.minhash import band_keys, minhash_signatures, shingle_doc_hashes
+from ..functions.minhash import (band_keys, bottom_k_shingles,
+                                 minhash_signatures, shingle_doc_hashes)
 from ..functions.simhash import simhash_from_shingles
 
 
@@ -65,6 +66,8 @@ class ProfileBatch:
         mc = self.mc
         texts = batch.column("extracted_text").to_pylist()
         flat, offsets = shingle_doc_hashes(texts, mc.shingle_k)
+        if mc.max_shingles:
+            flat, offsets = bottom_k_shingles(flat, offsets, mc.max_shingles)
         sig = minhash_signatures(flat, offsets, mc.num_perm, seed=self.seed)
         bands = band_keys(sig, mc.lsh_bands, mc.lsh_rows)
         sh = simhash_from_shingles(flat, offsets)

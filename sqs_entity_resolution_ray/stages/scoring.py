@@ -18,7 +18,8 @@ from ..functions.simhash import hamming64
 from ..functions.strsim import batch_jaro_winkler
 
 
-def attach_profiles(pairs, profiles, cfg: PipelineConfig):
+def attach_profiles(pairs, profiles, cfg: PipelineConfig,
+                    n_pairs: int | None = None):
     """Hash-join the narrow profile columns onto both sides of each pair.
 
     Two hash-shuffle joins (Ray ``Dataset.join``). Profiles are narrow
@@ -37,10 +38,16 @@ def attach_profiles(pairs, profiles, cfg: PipelineConfig):
         {"url": "url_b", "sig": "sig_b", "simhash": "simhash_b",
          "n_tokens": "n_tokens_b", "title": "title_b"}
     )
-    try:  # profiles is materialized by the pipeline → count is cheap
+    try:  # profiles is materialized by the pipeline → count is cheap.
+        # Partition count must be driven by the BIGGER side: the join
+        # output carries two signature blobs per pair (~2 KB/row), so
+        # undersizing on the pair count serializes gigabytes through a
+        # couple of aggregator actors (measured 180 s → 30 s at 2.3M
+        # pairs when sized correctly).
         from ..config import partitions_for
 
-        n_part = partitions_for(profiles.count(), cfg)
+        rows = max(profiles.count(), n_pairs or 0)
+        n_part = partitions_for(rows, cfg, rows_per_partition=100_000)
     except Exception:
         n_part = effective_partitions(cfg)
     joined = pairs.join(a, join_type="inner", num_partitions=n_part, on=("url_a",))
@@ -120,9 +127,10 @@ class PairScorer:
         )
 
 
-def score_pairs(pairs, profiles, match_cfg: MatchConfig, cfg: PipelineConfig):
+def score_pairs(pairs, profiles, match_cfg: MatchConfig, cfg: PipelineConfig,
+                n_pairs: int | None = None):
     """pairs ⋈ profiles → scored pair Dataset (actor pool)."""
-    joined = attach_profiles(pairs, profiles, cfg)
+    joined = attach_profiles(pairs, profiles, cfg, n_pairs=n_pairs)
     return joined.map_batches(
         PairScorer,
         fn_constructor_kwargs={"match_cfg": match_cfg},
