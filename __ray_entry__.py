@@ -39,7 +39,7 @@ def q_resolve_pages(sf_dir: str):
     from sqs_entity_resolution_ray.sources.corpus import pages_from_documents
 
     d = pages_from_documents(sf_dir)
-    art = resolve(read_pages(d + "/pages.parquet"))
+    art = resolve(read_pages(d + "/pages"))
     return art.clusters.to_pandas().sort_values("url").reset_index(drop=True)
 
 
@@ -309,7 +309,7 @@ def q_entity_report(sf_dir: str):
     from sqs_entity_resolution_ray.stages.report import entity_report
 
     d = pages_from_documents(sf_dir)
-    art = resolve(read_pages(d + "/pages.parquet"))
+    art = resolve(read_pages(d + "/pages"))
     rep = entity_report(art.clusters, art.profiles, art.edges).to_pandas()
     rep["records"] = rep["records"].astype(str)     # nested → stable string
     rep["features"] = rep["features"].astype(str)

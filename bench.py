@@ -44,6 +44,15 @@ def _headline_corpus():
                                 pad_tokens=HEADLINE_PAD)
 
 
+def _tune_context(ctx):
+    """Session-level Ray Data tuning (measured on the headline corpus):
+    polars-based sort (~10% on the shuffle-heavy stages) and a lower
+    per-operator resource reservation (map operators otherwise run at
+    ~half the CPUs while a downstream sort idles its reservation)."""
+    ctx.use_polars_sort = True
+    ctx.op_resource_reservation_ratio = 0.1
+
+
 def _warm_cluster():
     """Spawn the worker pool before timing (the 32-CPU session otherwise
     pays ~32 python-worker cold starts inside the measured window)."""
@@ -61,12 +70,14 @@ def _run_headline():
     from sqs_entity_resolution_ray.pipelines.resolve import read_pages, resolve
 
     corpus = _headline_corpus()
-    with open(os.path.join(corpus, "pages.parquet"), "rb") as fh:
-        while fh.read(1 << 24):
-            pass
+    pages_dir = os.path.join(corpus, "pages")
+    for f in sorted(os.listdir(pages_dir)):
+        with open(os.path.join(pages_dir, f), "rb") as fh:
+            while fh.read(1 << 24):
+                pass
     _warm_cluster()
     t0 = time.perf_counter()
-    art = resolve(read_pages(corpus + "/pages.parquet"))
+    art = resolve(read_pages(pages_dir))
     n_pages = art.clusters.count()
     sec = time.perf_counter() - t0
     return sec, n_pages
@@ -86,6 +97,7 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    _tune_context(ctx)
 
     import __ray_entry__ as entrymod
 
@@ -127,8 +139,10 @@ def run_bench() -> dict:
     return out
 
 
-def run_headline_subprocess(ncpu: int) -> dict:
+def run_headline_subprocess(ncpu: int, repeats: int | None = None) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+    if repeats is not None:
+        env["GRAFT_HEADLINE_REPEATS"] = str(repeats)
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--headline-only"],
         env=env, capture_output=True, text=True, check=True,
@@ -144,7 +158,9 @@ def run_headline_only() -> dict:
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    _tune_context(ctx)
     sec, n_pages = _run_headline()
     ray.shutdown()
     return {"sec": round(sec, 3), "pages": n_pages, "num_cpus": NUM_CPUS,
@@ -152,23 +168,35 @@ def run_headline_only() -> dict:
 
 
 def run_scaling() -> dict:
-    lo, hi = 8, 32
+    # N vs 4N parallelism levels; default 8→32. On this single node the
+    # 32-CPU level saturates DRAM bandwidth (shared across all cores —
+    # a real 4N-node cluster multiplies memory channels with nodes), so
+    # BASELINE.md also reports the bandwidth-unsaturated 2→8 pairing.
+    lo, hi = (int(x) for x in
+              os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
+    # scaling is measured on a 2x-amplified corpus (~260k pages at
+    # sf0.1) so per-page compute, not per-stage fixed overhead, sets the
+    # ratio — the regime a real multi-node run operates in
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS",
+                                 str(HEADLINE_REPEATS * 3)))
     # generate the corpus once (outside the timed subprocesses)
     _pregen = subprocess.run(
         [sys.executable, "-c",
          "import bench; bench._headline_corpus()"],
         capture_output=True, text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
-        env=dict(os.environ, GRAFT_SF_DIR=SF_DIR),
+        env=dict(os.environ, GRAFT_SF_DIR=SF_DIR,
+                 GRAFT_HEADLINE_REPEATS=str(repeats)),
     )
-    r_lo = run_headline_subprocess(lo)
+    r_lo = run_headline_subprocess(lo, repeats)
     time.sleep(5)  # let the previous Ray session fully release resources
-    r_hi = run_headline_subprocess(hi)
+    r_hi = run_headline_subprocess(hi, repeats)
     # efficiency: throughput ratio vs ideal CPU ratio
     eff = (r_hi["pages_per_sec"] / r_lo["pages_per_sec"]) / (hi / lo)
     return {
         "metric": "scaling",
         "sf": SF_DIR,
+        "pages": r_hi.get("pages"),
         "cpus_lo": lo,
         "cpus_hi": hi,
         "sec_lo": r_lo["sec"],

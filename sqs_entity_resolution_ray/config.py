@@ -27,7 +27,7 @@ class MatchConfig:
     # per-doc bottom-k shingle cap (0 = unlimited): bounds sketch cost on
     # arbitrarily long pages; bottom-k is permutation-invariant so
     # near-dups keep near-identical subsets
-    max_shingles: int = 2048
+    max_shingles: int = 1024
     # MinHash-LSH geometry: num_perm = bands * rows_per_band
     num_perm: int = 128
     lsh_bands: int = 32

@@ -25,17 +25,29 @@ _HASH_KEY = "0123456789123456"
 MERSENNE_P = np.uint64((1 << 61) - 1)
 
 
+_SALT_KEYS: dict[str, str] = {}
+
+
+def _salt_key(salt: str) -> str:
+    """Derive a 16-char SipHash key from a salt (cached) — hashing with a
+    per-salt key gives independent families WITHOUT allocating
+    salt-concatenated copies of every input string."""
+    k = _SALT_KEYS.get(salt)
+    if k is None:
+        k = hashlib.sha256(("saltkey:" + salt).encode()).hexdigest()[:16]
+        _SALT_KEYS[salt] = k
+    return k
+
+
 def hash_str_array(values, *, salt: str = "") -> np.ndarray:
     """Hash an array-like of strings to uint64, deterministically.
 
-    Vectorized via ``pandas.util.hash_pandas_object`` (SipHash-1-3 with a
-    fixed key). ``salt`` lets callers derive independent hash families
-    (e.g. shingle hashing vs url ids) from the same inputs.
+    Vectorized via ``pandas.util.hash_pandas_object`` (SipHash-1-3).
+    ``salt`` selects an independent hash family via a derived hash key.
     """
     s = pd.Series(values, dtype="object")
-    if salt:
-        s = salt + s.astype(str)
-    out = pd.util.hash_pandas_object(s, index=False, hash_key=_HASH_KEY)
+    key = _salt_key(salt) if salt else _HASH_KEY
+    out = pd.util.hash_pandas_object(s, index=False, hash_key=key)
     return out.to_numpy(dtype=np.uint64)
 
 

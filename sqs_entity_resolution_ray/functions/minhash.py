@@ -127,10 +127,23 @@ def minhash_signatures(
     sig = np.empty((n, num_perm), dtype=np.uint64)
     if n == 0:
         return sig
-    starts = offsets[:-1]
-    for i in range(num_perm):
-        y = splitmix64(flat ^ rs[i])
-        sig[:, i] = np.minimum.reduceat(y, starts)
+    # cache-blocked: all permutations over one L2-sized chunk of docs at
+    # a time, so the shingle slice is read from DRAM once instead of
+    # num_perm times (memory-bandwidth contention dominates when many
+    # cores run this concurrently)
+    chunk_target = 48 * 1024  # shingles per chunk ≈ 384 KB
+    d0 = 0
+    while d0 < n:
+        d1 = d0
+        while d1 < n and offsets[d1 + 1] - offsets[d0] <= chunk_target:
+            d1 += 1
+        d1 = max(d1, d0 + 1)  # at least one doc per chunk
+        seg = flat[offsets[d0]:offsets[d1]]
+        seg_starts = (offsets[d0:d1] - offsets[d0])
+        for i in range(num_perm):
+            y = splitmix64(seg ^ rs[i])
+            sig[d0:d1, i] = np.minimum.reduceat(y, seg_starts)
+        d0 = d1
     return sig
 
 

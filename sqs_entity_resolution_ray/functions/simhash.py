@@ -18,13 +18,25 @@ def simhash_from_shingles(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     n = len(offsets) - 1
     if n == 0:
         return np.empty(0, dtype=np.uint64)
-    starts = offsets[:-1]
     lens = np.diff(offsets)
     out = np.zeros(n, dtype=np.uint64)
-    for b in range(64):
-        bits = ((flat >> np.uint64(b)) & np.uint64(1)).astype(np.int32)
-        s = np.add.reduceat(bits, starts)
-        out |= (s * 2 > lens).astype(np.uint64) << np.uint64(b)
+    # cache-blocked like minhash_signatures: 64 bit-passes over one
+    # L2-resident chunk at a time
+    chunk_target = 48 * 1024
+    d0 = 0
+    while d0 < n:
+        d1 = d0
+        while d1 < n and offsets[d1 + 1] - offsets[d0] <= chunk_target:
+            d1 += 1
+        d1 = max(d1, d0 + 1)
+        seg = flat[offsets[d0]:offsets[d1]]
+        seg_starts = (offsets[d0:d1] - offsets[d0])
+        seg_lens = lens[d0:d1]
+        for b in range(64):
+            bits = ((seg >> np.uint64(b)) & np.uint64(1)).astype(np.int32)
+            s = np.add.reduceat(bits, seg_starts)
+            out[d0:d1] |= (s * 2 > seg_lens).astype(np.uint64) << np.uint64(b)
+        d0 = d1
     return out
 
 

@@ -23,8 +23,12 @@ def normalize_for_match(text: str) -> str:
 
 
 def tokenize(text: str) -> list[str]:
-    """Word tokens (``\\w+``) of the match-normalized text."""
-    return _TOKEN_RE.findall(normalize_for_match(text))
+    """Word tokens (``\\w+``) of the casefolded text.
+
+    Assumes input is already unicode-normalized (the frozen extractor
+    emits NFC); ``\\w+`` over ``casefold()`` is the match tokenization.
+    """
+    return _TOKEN_RE.findall(text.casefold())
 
 
 def normalize_phone(s: str) -> str:

@@ -33,8 +33,15 @@ def _run_dir(out_root: str, run_id: str, mode: str) -> str:
 
 
 def full_export(clusters: rd.Dataset, out_root: str, run_id: str,
-                report: rd.Dataset | None = None) -> str:
-    """Write the complete cluster map (and optional nested report)."""
+                report: rd.Dataset | None = None,
+                jsonl: bool = False) -> str:
+    """Write the complete cluster map (and optional nested report).
+
+    ``jsonl=True`` additionally writes the report as JSONL — the
+    reference's export format (one entity per line,
+    ``exporter.py:152-155``; Ray writes one file per block, making the
+    10 MiB multipart assembly unnecessary).
+    """
     out = _run_dir(out_root, run_id, "full")
     tmp = out + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -44,6 +51,8 @@ def full_export(clusters: rd.Dataset, out_root: str, run_id: str,
     n_report = None
     if report is not None:
         report.write_parquet(os.path.join(tmp, "report"))
+        if jsonl:
+            report.write_json(os.path.join(tmp, "report_jsonl"))
         n_report = report.count()
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         json.dump({"run_id": run_id, "mode": "full", "rows": n,

@@ -100,8 +100,9 @@ def resolve(pages, match_cfg: MatchConfig | None = None,
     match_cfg = match_cfg or MatchConfig()
     cfg = cfg or PipelineConfig()
     profiles = build_profiles(pages, match_cfg, cfg, extracted_sink).materialize()
-    # pairs are narrow (two urls + an int) — materializing them is cheap
-    # and lets the profile join size its partitions by the pair count
+    # pairs are narrow (two urls + an int): materializing them is cheap,
+    # sizes the scoring join by the true pair count, and keeps the join's
+    # aggregator actors from contending with the enumeration shuffle
     pairs = candidate_pairs(profiles, match_cfg, cfg).materialize()
     scored = score_pairs(pairs, profiles, match_cfg, cfg,
                          n_pairs=pairs.count())

@@ -32,7 +32,7 @@ import pyarrow.parquet as pq
 from ..functions.hashing import stable_rng
 from ..functions.html_extract import extract_text
 
-CORPUS_VERSION = 4
+CORPUS_VERSION = 5
 
 # Fixed 512-word vocabulary (deterministic, generated from a seeded walk
 # over consonant-vowel syllables — no external wordlist).
@@ -413,8 +413,16 @@ def pages_from_documents(
         }
     )
     tmp = out + ".tmp"
-    os.makedirs(tmp, exist_ok=True)
-    pq.write_table(pages, os.path.join(tmp, "pages.parquet"))
+    os.makedirs(os.path.join(tmp, "pages"), exist_ok=True)
+    # shard the pages table: parallel reads need multiple fragments (a
+    # single one-row-group file forces a single read task)
+    shard_rows = 4096
+    n_rows = pages.num_rows
+    for s, start in enumerate(range(0, max(n_rows, 1), shard_rows)):
+        pq.write_table(
+            pages.slice(start, shard_rows),
+            os.path.join(tmp, "pages", f"part-{s:05d}.parquet"),
+        )
     pq.write_table(truth, os.path.join(tmp, "expected_clusters.parquet"))
     with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
         f.write(tag)

@@ -65,4 +65,6 @@ def hash_aggregate(
         return pa.Table.from_pandas(out, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby("part").map_groups(final, batch_format="pandas")
+    return partials.groupby("part", num_partitions=num_partitions).map_groups(
+        final, batch_format="pandas"
+    )

@@ -4,9 +4,13 @@ The distributed replacement for Senzing's shared candidate index in
 Postgres (SURVEY.md §2.4 J2; behavior implied by MATCH_KEYs in reference
 ``test/fixtures/flow-output.jsonl``). Design decisions for 100 TB scale:
 
-- Band rows are NARROW: ``(part, band_key, url, bands)`` — signatures
-  and titles do NOT ride the band shuffle; they are joined back onto the
-  (much smaller) pair list afterwards (stages/scoring.py).
+- Band rows are NARROW: ``(part, band_key, url)`` — signatures, band
+  vectors and titles do NOT ride the band shuffle; pairs emitted from
+  multiple bands are deduped by a cheap hash aggregate on the (much
+  smaller) pair list, and signatures join back in stages/scoring.py.
+  (An earlier emit-once design carried the 8·lsh_bands-byte band vector
+  on every band row to skip the dedup shuffle — at 32 bands that is
+  ~8 KB per doc through the widest shuffle, strictly worse.)
 - ONE Python call per partition, not per block: rows are hash-bucketed
   by ``part = band_key % P`` so a single ``map_groups`` call receives a
   whole partition; block boundaries inside it are found with a
@@ -15,9 +19,6 @@ Postgres (SURVEY.md §2.4 J2; behavior implied by MATCH_KEYs in reference
   Python. The naive ``groupby(band_key).map_groups`` alternative makes
   one Python call per band key — millions of calls at 10^5 docs, the
   measured scaling cliff.
-- Pair dedup is free: a pair is emitted only from the FIRST band where
-  both docs collide (each band row carries the doc's full band-key
-  vector, 8·lsh_bands bytes), so no second shuffle dedups pairs.
 - Skew: any block larger than ``max_block_size`` is split into
   deterministic sorted chunks with one overlapping member between
   consecutive chunks. Pair enumeration is O(chunk²) instead of
@@ -51,7 +52,7 @@ _EMPTY_PAIRS = pa.table(
 
 def emit_band_rows(batch: pa.Table, *, lsh_bands: int,
                    num_parts: int = BAND_PARTITIONS) -> pa.Table:
-    """profiles → exploded band rows (part, band_key, url, bands)."""
+    """profiles → exploded band rows (part, band_key, url)."""
     n = batch.num_rows
     if n == 0:
         return pa.table(
@@ -59,7 +60,6 @@ def emit_band_rows(batch: pa.Table, *, lsh_bands: int,
                 "part": pa.array([], pa.int64()),
                 "band_key": pa.array([], pa.uint64()),
                 "url": pa.array([], pa.string()),
-                "bands": pa.array([], pa.binary()),
             }
         )
     band_blobs = batch.column("bands").to_pylist()
@@ -72,18 +72,16 @@ def emit_band_rows(batch: pa.Table, *, lsh_bands: int,
                              pa.int64()),
             "band_key": pa.array(keys, pa.uint64()),
             "url": batch.column("url").take(pa.array(idx)),
-            "bands": pa.array([band_blobs[i] for i in idx], pa.binary()),
         }
     )
 
 
-def _pairs_for_block(urls: list[str], mat: np.ndarray, band_key: int,
-                     cfg: PipelineConfig, out_a: list, out_b: list,
-                     out_size: list) -> None:
+def _pairs_for_block(urls: list[str], cfg: PipelineConfig, out_a: list,
+                     out_b: list, out_size: list) -> None:
     """Enumerate one block (members already sorted by url); appends to
-    the output lists. Applies emit-once + salted chunking."""
+    the output lists. Applies salted chunking; cross-band duplicate
+    pairs are removed by the downstream hash-aggregate dedup."""
     n = len(urls)
-    this_band = int(np.argmax(mat[0] == np.uint64(band_key)))
     max_s = cfg.max_block_size
     if n <= max_s:
         chunks = [range(n)]
@@ -101,13 +99,8 @@ def _pairs_for_block(urls: list[str], mat: np.ndarray, band_key: int,
         mem = list(ch)
         for x in range(len(mem)):
             i = mem[x]
-            mi = mat[i]
             for y in range(x + 1, len(mem)):
                 j = mem[y]
-                first = int(np.argmax(mi == mat[j]))
-                # pairs colliding in an earlier band are that band's job
-                if first != this_band or mi[first] != mat[j][first]:
-                    continue
                 out_a.append(urls[i])
                 out_b.append(urls[j])
                 emitted += 1
@@ -141,20 +134,13 @@ class PartitionPairEnumerator:
         if len(multi) == 0:
             return _EMPTY_PAIRS
         urls_all = group.column("url").to_pylist()
-        blobs_all = group.column("bands").to_pylist()
         out_a: list[str] = []
         out_b: list[str] = []
         out_size: list[int] = []
         for g in multi:
             members = order[starts[g]:ends[g]]
-            urls = [urls_all[i] for i in members]
-            uorder = np.argsort(urls)  # deterministic member order
-            urls = [urls[i] for i in uorder]
-            mat = np.frombuffer(
-                b"".join(blobs_all[members[i]] for i in uorder), dtype="<u8"
-            ).reshape(len(members), self.lsh_bands)
-            _pairs_for_block(urls, mat, int(sorted_keys[starts[g]]),
-                             self.cfg, out_a, out_b, out_size)
+            urls = sorted(urls_all[i] for i in members)  # deterministic
+            _pairs_for_block(urls, self.cfg, out_a, out_b, out_size)
         if not out_a:
             return _EMPTY_PAIRS
         return pa.table(
@@ -179,6 +165,13 @@ def candidate_pairs(profiles, match_cfg: MatchConfig, cfg: PipelineConfig):
     def enumerate_partition(group: pa.Table) -> pa.Table:
         return enumerator(group)
 
-    return bands.groupby("part").map_groups(
+    raw_pairs = bands.groupby("part", num_partitions=BAND_PARTITIONS).map_groups(
         enumerate_partition, batch_format="pyarrow"
+    )
+    # a pair that collides in k bands is emitted k times → dedup (keep
+    # the max block_size observed, for the skew metrics)
+    from .agg import hash_aggregate
+
+    return hash_aggregate(
+        raw_pairs, ["url_a", "url_b"], {"block_size": ("block_size", "max")}
     )

@@ -101,7 +101,10 @@ def connected_components(
         )
         out = _driver_union_find(nodes_df, edges_df)
         out["label"] = out["label"].astype(np.int64)
-        return rd.from_pandas(out)
+        # split into parallel blocks — a single-block labels dataset
+        # serializes every downstream map (size attach, report joins)
+        n_blocks = max(2, len(out) // 65536)
+        return rd.from_pandas(out).repartition(min(n_blocks, 64))
 
     return _distributed_cc(nodes, edges, cfg)
 

@@ -79,7 +79,7 @@ def _doc_sketches(ds: rd.Dataset, text_col: str, id_col: str,
         return pa.table(
             {
                 "doc_id": ids,
-                "sig": pa.array([r.astype("<u8").tobytes() for r in sig],
+                "sig": pa.array([r.astype("<u4").tobytes() for r in sig],
                                 pa.binary()),
                 "bands": pa.array([r.astype("<u8").tobytes() for r in bands],
                                   pa.binary()),
@@ -161,9 +161,9 @@ def minhash_dedup(ds: rd.Dataset, text_col: str = "text",
                              "doc_id_b": pa.array([], pa.string())})
         p = mc.num_perm
         sa = np.frombuffer(b"".join(batch.column("sig_a").to_pylist()),
-                           dtype="<u8").reshape(n, p)
+                           dtype="<u4").reshape(n, p)
         sb = np.frombuffer(b"".join(batch.column("sig_b").to_pylist()),
-                           dtype="<u8").reshape(n, p)
+                           dtype="<u4").reshape(n, p)
         ej = (sa == sb).mean(axis=1)
         keep = ej >= threshold
         return pa.table(
@@ -203,7 +203,6 @@ def _sketch_pairs(sketches: rd.Dataset, mc: MatchConfig,
                 "part": pa.array((keys % np.uint64(BAND_PARTITIONS)).astype(np.int64), pa.int64()),
                 "band_key": pa.array(keys, pa.uint64()),
                 "doc_id": batch.column("doc_id").take(pa.array(idx)),
-                "bands": pa.array([blobs[i] for i in idx], pa.binary()),
                 "sig": batch.column("sig").take(pa.array(idx)),
             }
         )
@@ -228,24 +227,29 @@ def _sketch_pairs(sketches: rd.Dataset, mc: MatchConfig,
         if len(multi) == 0:
             return empty
         ids_all = group.column("doc_id").to_pylist()
-        blobs_all = group.column("bands").to_pylist()
         sigs_all = group.column("sig").to_pylist()
         sig_of = dict(zip(ids_all, sigs_all))
         out_a: list[str] = []
         out_b: list[str] = []
         out_size: list[int] = []
+        seen: set[tuple[str, str]] = set()
         for g in multi:
             members = order[starts[g]:ends[g]]
-            ids = [ids_all[i] for i in members]
-            uorder = np.argsort(ids)
-            ids = [ids[i] for i in uorder]
-            mat = np.frombuffer(
-                b"".join(blobs_all[members[i]] for i in uorder), dtype="<u8"
-            ).reshape(len(members), lsh_bands)
-            _pairs_for_block(ids, mat, int(sk[starts[g]]), cfg,
-                             out_a, out_b, out_size)
+            ids = sorted(ids_all[i] for i in members)
+            _pairs_for_block(ids, cfg, out_a, out_b, out_size)
+        # within-partition dedup of cross-band duplicates (cheap here
+        # because this partition owns all bands of these keys is NOT
+        # guaranteed — a final global dedup is unnecessary since the
+        # verify step and CC are idempotent on duplicate edges)
         if not out_a:
             return empty
+        keep = []
+        for i, (a, b) in enumerate(zip(out_a, out_b)):
+            if (a, b) not in seen:
+                seen.add((a, b))
+                keep.append(i)
+        out_a = [out_a[i] for i in keep]
+        out_b = [out_b[i] for i in keep]
         return pa.table({
             "doc_id_a": pa.array(out_a, pa.string()),
             "doc_id_b": pa.array(out_b, pa.string()),
@@ -253,7 +257,7 @@ def _sketch_pairs(sketches: rd.Dataset, mc: MatchConfig,
             "sig_b": pa.array([sig_of[i] for i in out_b], pa.binary()),
         })
 
-    return band_rows.groupby("part").map_groups(
+    return band_rows.groupby("part", num_partitions=BAND_PARTITIONS).map_groups(
         pairs_in_partition, batch_format="pyarrow"
     )
 
@@ -329,7 +333,7 @@ def simhash_dedup(ds: rd.Dataset, text_col: str = "text",
         return pa.table({"doc_id_a": pa.array(out_a, pa.string()),
                          "doc_id_b": pa.array(out_b, pa.string())})
 
-    pairs = buckets.groupby("part").map_groups(
+    pairs = buckets.groupby("part", num_partitions=64).map_groups(
         pairs_in_partition, batch_format="pyarrow"
     )
     # pairs can repeat across chunks → CC handles duplicates harmlessly
@@ -474,7 +478,7 @@ def embedding_dedup(ds: rd.Dataset, emb_col: str = "embedding",
             "doc_id_b": pa.array(out_b, pa.string()),
         })
 
-    pairs = buckets.groupby("part").map_groups(
+    pairs = buckets.groupby("part", num_partitions=64).map_groups(
         pairs_in_partition, batch_format="pyarrow"
     )
     ids_ds = ds.map_batches(

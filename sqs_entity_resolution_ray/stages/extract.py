@@ -72,7 +72,10 @@ class ProfileBatch:
         bands = band_keys(sig, mc.lsh_bands, mc.lsh_rows)
         sh = simhash_from_shingles(flat, offsets)
         n_tokens = np.diff(offsets).astype(np.int32)  # ≈ token count (shingles+k-1)
-        sig_bytes = [row.astype("<u8").tobytes() for row in sig]
+        # store signatures truncated to 32 bits per slot: est_jaccard
+        # compares slot equality only, and a truncated collision flips a
+        # slot with p=2^-32 — halves the scoring-join payload
+        sig_bytes = [row.astype("<u4").tobytes() for row in sig]
         band_bytes = [row.astype("<u8").tobytes() for row in bands]
         return pa.table(
             {
@@ -118,7 +121,7 @@ def dedup_profiles_by_url(profiles):
 
     return (
         profiles.map_batches(local_dedup, batch_format="pandas")
-        .groupby("part")
+        .groupby("part", num_partitions=num_parts)
         .map_groups(final, batch_format="pandas")
     )
 

@@ -89,10 +89,10 @@ class PairScorer:
             )
         p = mc.num_perm
         sig_a = np.frombuffer(
-            b"".join(batch.column("sig_a").to_pylist()), dtype="<u8"
+            b"".join(batch.column("sig_a").to_pylist()), dtype="<u4"
         ).reshape(n, p)
         sig_b = np.frombuffer(
-            b"".join(batch.column("sig_b").to_pylist()), dtype="<u8"
+            b"".join(batch.column("sig_b").to_pylist()), dtype="<u4"
         ).reshape(n, p)
         ej = (sig_a == sig_b).mean(axis=1)
         hd = hamming64(
