@@ -77,6 +77,18 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+def node_ids_from_strings(values) -> np.ndarray:
+    """Deterministic 63-bit node ids (int64, non-negative) for string
+    keys. 63 bits: several shuffle backends round-trip through Python
+    ints + int64 Arrow inference, which overflows on uint64. Collision
+    odds follow the birthday bound (~n²/2^64) — negligible per pair and
+    tolerable in aggregate for dedup semantics; switch to a 128-bit key
+    if exact-at-10^10-docs is ever required.
+    """
+    h = hash_str_array(values, salt="node")
+    return (h & np.uint64((1 << 63) - 1)).astype(np.int64)
+
+
 def sha256_hex(data: bytes | str) -> str:
     if isinstance(data, str):
         data = data.encode("utf-8")

@@ -18,6 +18,77 @@ import numpy as np
 from .hashing import hash_str_array, hash_u64_pairs, splitmix64, stable_rng
 from .textnorm import tokenize
 
+# ---- vectorized byte-level tokenizer + rolling hash -----------------------
+#
+# Tokenizing to Python strings allocates ~1.5k objects per web page —
+# the dominant memory-bandwidth cost when 32 cores sketch concurrently.
+# Instead: casefold once per DOC, then find \w+ runs and hash them with
+# a positional polynomial over the raw bytes, fully vectorized.
+#
+# Polynomial prefix hashes are a sequential recurrence H[i+1]=H[i]·B+a[i],
+# but B is odd ⇒ invertible mod 2^64, giving the closed form
+#   token_hash(s,e) = B^e · (S[e] − S[s]),  S[n] = Σ_{i<n} a[i]·B^{-(i+1)}
+# which is one cumsum + two gathers. A splitmix64 finalizer fixes the
+# polynomial hash's weak high bits before MinHash consumes it.
+
+_B = np.uint64(0x9E3779B97F4A7C15 | 1)           # odd multiplier
+_BINV = np.uint64(pow(int(_B), -1, 1 << 64))     # modular inverse
+# word bytes: a-z 0-9 _ plus all >=0x80 (UTF-8 sequences stay in-token)
+_WORD_BYTE = np.zeros(256, dtype=bool)
+for _c in range(ord("a"), ord("z") + 1):
+    _WORD_BYTE[_c] = True
+for _c in range(ord("0"), ord("9") + 1):
+    _WORD_BYTE[_c] = True
+_WORD_BYTE[ord("_")] = True
+_WORD_BYTE[0x80:] = True
+
+
+def token_hashes_from_texts(
+    texts: list[str],
+) -> tuple[np.ndarray, np.ndarray]:
+    """64-bit hash per \\w+ token of each casefolded text, vectorized.
+
+    Returns ``(flat_token_hashes: uint64[N], tok_counts: int64[n])``.
+    The only per-doc Python work is ``casefold().encode()``.
+    """
+    n = len(texts)
+    bufs = [(t or "").casefold().encode("utf-8") for t in texts]
+    # single space separators force token breaks at doc boundaries
+    joined = b" ".join(bufs) + b" "
+    arr = np.frombuffer(joined, dtype=np.uint8)
+    mask = _WORD_BYTE[arr]
+    m8 = mask.astype(np.int8)
+    d = np.diff(m8)
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if mask[0]:
+        starts = np.concatenate(([0], starts))
+    # trailing space guarantees mask[-1] is False → ends covers all runs
+
+    # prefix machinery: S[i] = sum_{j<i} (a[j]+1) * BINV^(j+1)
+    N = len(arr)
+    # np.full on uint64 hits a ~60x slow path in numpy; empty+fill doesn't
+    binv_pows = np.empty(N, dtype=np.uint64)
+    binv_pows.fill(_BINV)
+    np.multiply.accumulate(binv_pows, out=binv_pows)      # BINV^(i+1)
+    b_pows = np.empty(N + 1, dtype=np.uint64)
+    b_pows.fill(_B)
+    b_pows[0] = np.uint64(1)
+    np.multiply.accumulate(b_pows, out=b_pows)            # B^i
+    terms = (arr.astype(np.uint64) + np.uint64(1)) * binv_pows
+    S = np.zeros(N + 1, dtype=np.uint64)
+    np.cumsum(terms, out=S[1:])                           # wraps mod 2^64
+    tok_hash = splitmix64(b_pows[ends] * (S[ends] - S[starts]))
+
+    # doc ownership of each token: doc d spans bytes
+    # [doc_start[d], doc_start[d] + len(bufs[d]))
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+    doc_starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens + 1, out=doc_starts[1:])               # +1 separators
+    doc_of_token = np.searchsorted(doc_starts[1:], starts, side="right")
+    tok_counts = np.bincount(doc_of_token, minlength=n).astype(np.int64)
+    return tok_hash, tok_counts
+
 
 def shingle_doc_hashes(
     texts: list[str], k: int
@@ -30,20 +101,12 @@ def shingle_doc_hashes(
     normalized token string (so empty/short docs still participate).
     """
     n = len(texts)
-    tok_lists = [tokenize(t) if t else [] for t in texts]
-    tok_counts = np.fromiter((len(ts) for ts in tok_lists), dtype=np.int64, count=n)
-
-    flat_tokens: list[str] = []
-    for ts in tok_lists:
-        flat_tokens.extend(ts)
+    th, tok_counts = token_hashes_from_texts(texts)
 
     out_chunks: list[np.ndarray] = []
     counts = np.zeros(n, dtype=np.int64)
 
-    if flat_tokens:
-        th = hash_str_array(flat_tokens, salt="shingle")
-        tok_offsets = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(tok_counts, out=tok_offsets[1:])
+    if len(th):
         total = len(th)
         if total >= k:
             # rolling combine of k consecutive token hashes over the flat
@@ -60,12 +123,23 @@ def shingle_doc_hashes(
             out_chunks.append(sh)
             # re-order flat shingles grouped by doc (they already are:
             # valid positions are in doc order because pos_doc is sorted)
-    # fallback single shingle for docs with zero shingles
+    # fallback single shingle for docs with zero shingles: left-fold of
+    # the doc's (< k) token hashes, seeded so it can't collide with a
+    # k-shingle hash family value by construction
     short = np.flatnonzero(counts == 0)
     if len(short):
-        fallback = hash_str_array(
-            [" ".join(tok_lists[i]) for i in short], salt="shingle-short"
-        )
+        tok_offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(tok_counts, out=tok_offsets[1:])
+        fb = []
+        for i in short:
+            acc = np.uint64(0x5349_4E47_4C45)  # "SINGLE" seed
+            for v in th[tok_offsets[i]:tok_offsets[i + 1]]:
+                acc = hash_u64_pairs(
+                    np.array([acc], dtype=np.uint64),
+                    np.array([v], dtype=np.uint64),
+                )[0]
+            fb.append(acc)
+        fallback = np.asarray(fb, dtype=np.uint64)
     offsets = np.zeros(n + 1, dtype=np.int64)
     final_counts = np.where(counts == 0, 1, counts)
     np.cumsum(final_counts, out=offsets[1:])

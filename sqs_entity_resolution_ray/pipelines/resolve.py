@@ -84,11 +84,45 @@ def build_profiles(pages, match_cfg: MatchConfig, cfg: PipelineConfig,
 
 @dataclass
 class ResolveArtifacts:
-    profiles: rd.Dataset   # (url, warc_ts, lang, title, n_tokens, simhash, sig, bands)
-    scored: rd.Dataset     # all scored candidate pairs
-    edges: rd.Dataset      # matched pairs (url_a, url_b, score)
-    labels: rd.Dataset     # (url, label)
-    clusters: rd.Dataset   # (url, entity_id, cluster_size)
+    profiles: rd.Dataset   # (url, uid, warc_ts, lang, title, n_tokens, simhash, sig, bands)
+    scored: rd.Dataset     # all scored candidate pairs (uid-keyed)
+    edges: rd.Dataset      # matched pairs (uid_a, uid_b, score)
+    labels: rd.Dataset     # (url=uid, label)
+    clusters: rd.Dataset   # (uid, entity_id, cluster_size, url)
+
+
+def attach_url_strings(ds_with_uid, profiles, cfg: PipelineConfig):
+    """uid → url mapping: broadcast sorted arrays below 2M docs (searchsorted
+    gather per batch), hash join above."""
+    import ray
+
+    from ..stages.scoring import BROADCAST_PROFILES_MAX
+
+    n = profiles.count()
+    if n <= BROADCAST_PROFILES_MAX:
+        import numpy as np
+        import pyarrow as pa
+
+        prof = profiles.select_columns(["uid", "url"]).to_pandas()
+        order = prof["uid"].to_numpy().argsort()
+        uids = prof["uid"].to_numpy()[order]
+        urls = prof["url"].to_numpy()[order]
+        ref = ray.put((uids, urls))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            u, s = ray.get(ref)
+            idx = __import__("numpy").searchsorted(
+                u, batch.column("uid").to_numpy(zero_copy_only=False))
+            return batch.append_column("url", pa.array(list(s[idx]),
+                                                       pa.string()))
+
+        return ds_with_uid.map_batches(attach, batch_format="pyarrow")
+    from ..config import partitions_for
+
+    return ds_with_uid.join(
+        profiles.select_columns(["uid", "url"]), join_type="inner",
+        num_partitions=partitions_for(n, cfg), on=("uid",),
+    )
 
 
 def resolve(pages, match_cfg: MatchConfig | None = None,
@@ -100,15 +134,20 @@ def resolve(pages, match_cfg: MatchConfig | None = None,
     match_cfg = match_cfg or MatchConfig()
     cfg = cfg or PipelineConfig()
     profiles = build_profiles(pages, match_cfg, cfg, extracted_sink).materialize()
-    # pairs are narrow (two urls + an int): materializing them is cheap,
-    # sizes the scoring join by the true pair count, and keeps the join's
-    # aggregator actors from contending with the enumeration shuffle
+    # pairs are narrow (two int ids + an int): materializing them is
+    # cheap, sizes the scoring join by the true pair count, and keeps the
+    # join's aggregator actors off the enumeration shuffle's CPUs
     pairs = candidate_pairs(profiles, match_cfg, cfg).materialize()
     scored = score_pairs(pairs, profiles, match_cfg, cfg,
                          n_pairs=pairs.count())
     edges = matched_edges(scored).materialize()
-    labels = connected_components(profiles, edges, cfg, algorithm=cc_algorithm)
-    clusters = clusters_with_size(labels, cfg)
+    nodes = profiles.select_columns(["uid"]).rename_columns({"uid": "url"})
+    cc_edges = edges.rename_columns({"uid_a": "url_a", "uid_b": "url_b"})
+    labels = connected_components(nodes, cc_edges, cfg, algorithm=cc_algorithm)
+    clusters_uid = clusters_with_size(labels, cfg).rename_columns(
+        {"url": "uid"}
+    )
+    clusters = attach_url_strings(clusters_uid, profiles, cfg)
     return ResolveArtifacts(
         profiles=profiles, scored=scored, edges=edges, labels=labels,
         clusters=clusters,

@@ -76,8 +76,15 @@ def resolve_with_checkpoints(
     clusters_fp = f"{edges_fp}-clusters"
 
     def run_clusters() -> rd.Dataset:
-        labels = connected_components(profiles, edges, cfg)
-        return clusters_with_size(labels, cfg)
+        from .resolve import attach_url_strings
+
+        nodes = profiles.select_columns(["uid"]).rename_columns({"uid": "url"})
+        cc_edges = edges.rename_columns({"uid_a": "url_a", "uid_b": "url_b"})
+        labels = connected_components(nodes, cc_edges, cfg)
+        clusters_uid = clusters_with_size(labels, cfg).rename_columns(
+            {"url": "uid"}
+        )
+        return attach_url_strings(clusters_uid, profiles, cfg)
 
     clusters, cached["clusters"] = load_or_run(
         os.path.join(ckpt_root, "clusters"), clusters_fp, run_clusters,

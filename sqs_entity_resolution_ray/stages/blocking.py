@@ -4,7 +4,9 @@ The distributed replacement for Senzing's shared candidate index in
 Postgres (SURVEY.md §2.4 J2; behavior implied by MATCH_KEYs in reference
 ``test/fixtures/flow-output.jsonl``). Design decisions for 100 TB scale:
 
-- Band rows are NARROW: ``(part, band_key, url)`` — signatures, band
+- Band rows are NARROW: ``(part, band_key, uid)`` — 24 bytes, fully
+  numeric (int ids sort/hash several times faster than url strings in
+  the shuffle machinery); signatures, band
   vectors and titles do NOT ride the band shuffle; pairs emitted from
   multiple bands are deduped by a cheap hash aggregate on the (much
   smaller) pair list, and signatures join back in stages/scoring.py.
@@ -43,8 +45,8 @@ BAND_PARTITIONS = 64
 
 _EMPTY_PAIRS = pa.table(
     {
-        "url_a": pa.array([], pa.string()),
-        "url_b": pa.array([], pa.string()),
+        "uid_a": pa.array([], pa.int64()),
+        "uid_b": pa.array([], pa.int64()),
         "block_size": pa.array([], pa.int32()),
     }
 )
@@ -52,35 +54,35 @@ _EMPTY_PAIRS = pa.table(
 
 def emit_band_rows(batch: pa.Table, *, lsh_bands: int,
                    num_parts: int = BAND_PARTITIONS) -> pa.Table:
-    """profiles → exploded band rows (part, band_key, url)."""
+    """profiles → exploded band rows (part, band_key, uid)."""
     n = batch.num_rows
     if n == 0:
         return pa.table(
             {
                 "part": pa.array([], pa.int64()),
                 "band_key": pa.array([], pa.uint64()),
-                "url": pa.array([], pa.string()),
+                "uid": pa.array([], pa.int64()),
             }
         )
     band_blobs = batch.column("bands").to_pylist()
     mat = np.frombuffer(b"".join(band_blobs), dtype="<u8").reshape(n, lsh_bands)
     keys = mat.reshape(-1)
-    idx = np.repeat(np.arange(n), lsh_bands)
+    uids = batch.column("uid").to_numpy(zero_copy_only=False)
     return pa.table(
         {
             "part": pa.array((keys % np.uint64(num_parts)).astype(np.int64),
                              pa.int64()),
             "band_key": pa.array(keys, pa.uint64()),
-            "url": batch.column("url").take(pa.array(idx)),
+            "uid": pa.array(np.repeat(uids, lsh_bands), pa.int64()),
         }
     )
 
 
-def _pairs_for_block(urls: list[str], cfg: PipelineConfig, out_a: list,
+def _pairs_for_block(urls, cfg: PipelineConfig, out_a: list,
                      out_b: list, out_size: list) -> None:
-    """Enumerate one block (members already sorted by url); appends to
-    the output lists. Applies salted chunking; cross-band duplicate
-    pairs are removed by the downstream hash-aggregate dedup."""
+    """Enumerate one block (members already sorted); appends to the
+    output lists. Applies salted chunking; cross-band duplicate pairs
+    are removed by the downstream hash-aggregate dedup."""
     n = len(urls)
     max_s = cfg.max_block_size
     if n <= max_s:
@@ -133,20 +135,20 @@ class PartitionPairEnumerator:
         multi = np.flatnonzero(sizes >= 2)
         if len(multi) == 0:
             return _EMPTY_PAIRS
-        urls_all = group.column("url").to_pylist()
-        out_a: list[str] = []
-        out_b: list[str] = []
+        uids_all = group.column("uid").to_numpy(zero_copy_only=False)
+        out_a: list[int] = []
+        out_b: list[int] = []
         out_size: list[int] = []
         for g in multi:
             members = order[starts[g]:ends[g]]
-            urls = sorted(urls_all[i] for i in members)  # deterministic
-            _pairs_for_block(urls, self.cfg, out_a, out_b, out_size)
+            uids = sorted(int(uids_all[i]) for i in members)  # deterministic
+            _pairs_for_block(uids, self.cfg, out_a, out_b, out_size)
         if not out_a:
             return _EMPTY_PAIRS
         return pa.table(
             {
-                "url_a": pa.array(out_a, pa.string()),
-                "url_b": pa.array(out_b, pa.string()),
+                "uid_a": pa.array(out_a, pa.int64()),
+                "uid_b": pa.array(out_b, pa.int64()),
                 "block_size": pa.array(np.asarray(out_size, dtype=np.int32),
                                        pa.int32()),
             }
@@ -154,7 +156,7 @@ class PartitionPairEnumerator:
 
 
 def candidate_pairs(profiles, match_cfg: MatchConfig, cfg: PipelineConfig):
-    """profiles → deduped candidate pair Dataset (url_a, url_b, block_size)."""
+    """profiles → deduped candidate pair Dataset (uid_a, uid_b, block_size)."""
     bands = profiles.map_batches(
         emit_band_rows,
         batch_format="pyarrow",
@@ -173,5 +175,5 @@ def candidate_pairs(profiles, match_cfg: MatchConfig, cfg: PipelineConfig):
     from .agg import hash_aggregate
 
     return hash_aggregate(
-        raw_pairs, ["url_a", "url_b"], {"block_size": ("block_size", "max")}
+        raw_pairs, ["uid_a", "uid_b"], {"block_size": ("block_size", "max")}
     )

@@ -26,24 +26,26 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..config import effective_concurrency, effective_partitions, PipelineConfig
-from ..functions.hashing import hash_str_array
+from ..functions.hashing import hash_str_array  # noqa: F401 (used via node_ids)
 
 DRIVER_CC_MAX_EDGES = 2_000_000
 
 
-def node_ids(urls: list[str]) -> np.ndarray:
-    """Deterministic 63-bit node ids (int64, non-negative).
+def node_ids(urls) -> np.ndarray:
+    """Node ids for a key array: integer keys pass through; string keys
+    hash to 63-bit int64 (see hashing.node_ids_from_strings)."""
+    arr = np.asarray(urls)
+    if arr.dtype.kind in "iu":
+        return arr.astype(np.int64)
+    from ..functions.hashing import node_ids_from_strings
 
-    63 bits, not 64: several shuffle backends round-trip values through
-    Python ints + int64 Arrow inference, which overflows on uint64.
-    """
-    h = hash_str_array(urls, salt="node")
-    return (h & np.uint64((1 << 63) - 1)).astype(np.int64)
+    return node_ids_from_strings(list(urls))
 
 
-def _label_table(urls: list[str] | np.ndarray, labels: np.ndarray) -> pa.Table:
+def _label_table(urls, labels: np.ndarray) -> pa.Table:
+    # node keys may be strings (record pipeline) or int64 uids (pages)
     return pa.table(
-        {"url": pa.array(urls, pa.string()), "label": pa.array(labels, pa.int64())}
+        {"url": pa.array(urls), "label": pa.array(labels, pa.int64())}
     )
 
 

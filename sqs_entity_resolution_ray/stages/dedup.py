@@ -323,8 +323,7 @@ def simhash_dedup(ds: rd.Dataset, text_col: str = "text",
             m = len(ids)
             cap = min(m, max_block * 4)
             for i in range(cap):
-                hd = hamming64(np.full(cap - i - 1, sh[i], dtype=np.uint64),
-                               sh[i + 1:cap])
+                hd = hamming64(sh[i], sh[i + 1:cap])  # scalar broadcasts
                 for off in np.flatnonzero(hd <= max_hamming):
                     j = i + 1 + int(off)
                     out_a.append(ids[i]); out_b.append(ids[j])

@@ -16,6 +16,7 @@ import pyarrow as pa
 
 from ..config import MatchConfig
 from ..functions.html_extract import EXTRACTOR_VERSION, extract_text, extract_title
+from ..functions.hashing import node_ids_from_strings
 from ..functions.minhash import (band_keys, bottom_k_shingles,
                                  minhash_signatures, shingle_doc_hashes)
 from ..functions.simhash import simhash_from_shingles
@@ -77,9 +78,14 @@ class ProfileBatch:
         # slot with p=2^-32 — halves the scoring-join payload
         sig_bytes = [row.astype("<u4").tobytes() for row in sig]
         band_bytes = [row.astype("<u8").tobytes() for row in bands]
+        urls = batch.column("url").to_pylist()
         return pa.table(
             {
                 "url": batch.column("url"),
+                # 63-bit numeric doc id: every downstream shuffle (bands,
+                # pairs, edges, labels) keys on this instead of the url
+                # string — narrower rows, numeric sorts/joins
+                "uid": pa.array(node_ids_from_strings(urls), pa.int64()),
                 "warc_ts": batch.column("warc_ts"),
                 "lang": batch.column("lang"),
                 "title": batch.column("title"),

@@ -16,15 +16,15 @@ from ..config import effective_concurrency, effective_partitions, PipelineConfig
 
 
 def best_scores(edges):
-    """edges(url_a, url_b, score) → (url, best_score) per member url."""
+    """edges(uid_a, uid_b, score) → (uid, best_score) per member."""
     from .agg import hash_aggregate
 
-    a = edges.select_columns(["url_a", "score"]).rename_columns({"url_a": "url"})
-    b = edges.select_columns(["url_b", "score"]).rename_columns(
-        {"url_b": "url"}).select_columns(["url", "score"])
+    a = edges.select_columns(["uid_a", "score"]).rename_columns({"uid_a": "uid"})
+    b = edges.select_columns(["uid_b", "score"]).rename_columns(
+        {"uid_b": "uid"}).select_columns(["uid", "score"])
     return hash_aggregate(
-        a.select_columns(["url", "score"]).union(b),
-        ["url"], {"best_score": ("score", "max")},
+        a.select_columns(["uid", "score"]).union(b),
+        ["uid"], {"best_score": ("score", "max")},
     )
 
 
@@ -92,12 +92,12 @@ def entity_report(clusters, profiles, edges, cfg: PipelineConfig | None = None):
     except Exception:
         n_rows = 0
     n_part = partitions_for(n_rows, cfg)
-    meta = profiles.select_columns(["url", "title", "lang"])
+    meta = profiles.select_columns(["uid", "title", "lang"])
     enriched = clusters.join(meta, join_type="inner", num_partitions=n_part,
-                             on=("url",))
+                             on=("uid",))
     scores = best_scores(edges)
     enriched = enriched.join(
-        scores, join_type="left_outer", num_partitions=n_part, on=("url",)
+        scores, join_type="left_outer", num_partitions=n_part, on=("uid",)
     )
     return enriched.groupby("entity_id").map_groups(
         _build_entity, batch_format="pyarrow"

@@ -1,4 +1,4 @@
-"""Pairwise scoring: profile join + stateful actor-pool scorer.
+"""Pairwise scoring: profile attach + stateful actor-pool scorer.
 
 Analogue of the reference's per-record Senzing scoring call
 (``middleware/consumer.py:188`` — ``add_record`` → match decision inside
@@ -6,6 +6,14 @@ the engine). The engine-per-process pattern (``consumer.py:151-163``:
 one ``SzAbstractFactoryCore`` per worker, created at startup) maps to a
 Ray actor pool: scorer state is built once per actor in ``__init__``,
 batches of pairs are scored vectorized in ``__call__``.
+
+All keys are the 63-bit integer ``uid`` (profiles carry the url↔uid
+mapping). Two attach plans:
+- broadcast (≤2M docs): the narrow profile columns ship once via
+  ``ray.put`` as numpy arrays; per-batch lookups are vectorized
+  ``np.searchsorted`` gathers — no shuffle at all;
+- hash join (the 10^8+-doc plan): two ``Dataset.join``s on uid with
+  data-sized partitions.
 """
 
 from __future__ import annotations
@@ -13,45 +21,88 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..config import effective_concurrency, effective_partitions, MatchConfig, PipelineConfig
+from ..config import (
+    MatchConfig,
+    PipelineConfig,
+    effective_concurrency,
+    effective_partitions,
+)
 from ..functions.simhash import hamming64
 from ..functions.strsim import batch_jaro_winkler
+
+BROADCAST_PROFILES_MAX = 2_000_000
+
+_PROFILE_COLS = ["uid", "sig", "simhash", "n_tokens", "title"]
+
+
+def attach_profiles_broadcast(pairs, profiles):
+    """Broadcast attach: profile columns as sorted numpy arrays, looked
+    up per batch with searchsorted — vectorized, shuffle-free."""
+    import ray
+
+    prof = profiles.select_columns(_PROFILE_COLS).to_pandas()
+    order = np.argsort(prof["uid"].to_numpy())
+    uids = prof["uid"].to_numpy()[order]
+    sig_arr = np.asarray(
+        [np.frombuffer(s, dtype="<u4") for s in prof["sig"]], dtype=np.uint32
+    )[order]
+    simhash = prof["simhash"].to_numpy()[order].astype(np.uint64)
+    n_tokens = prof["n_tokens"].to_numpy()[order].astype(np.int32)
+    titles = np.asarray(prof["title"].to_numpy(), dtype=object)[order]
+    ref = ray.put((uids, sig_arr, simhash, n_tokens, titles))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        uids_, sig_, sh_, nt_, ti_ = ray.get(ref)
+        ua = batch.column("uid_a").to_numpy(zero_copy_only=False)
+        ub = batch.column("uid_b").to_numpy(zero_copy_only=False)
+        ia = np.searchsorted(uids_, ua)
+        ib = np.searchsorted(uids_, ub)
+        return pa.table(
+            {
+                "uid_a": batch.column("uid_a"),
+                "uid_b": batch.column("uid_b"),
+                "block_size": batch.column("block_size"),
+                "sig_a": pa.array([row.tobytes() for row in sig_[ia]],
+                                  pa.binary()),
+                "simhash_a": pa.array(sh_[ia], pa.uint64()),
+                "n_tokens_a": pa.array(nt_[ia], pa.int32()),
+                "title_a": pa.array(list(ti_[ia]), pa.string()),
+                "sig_b": pa.array([row.tobytes() for row in sig_[ib]],
+                                  pa.binary()),
+                "simhash_b": pa.array(sh_[ib], pa.uint64()),
+                "n_tokens_b": pa.array(nt_[ib], pa.int32()),
+                "title_b": pa.array(list(ti_[ib]), pa.string()),
+            }
+        )
+
+    return pairs.map_batches(attach, batch_format="pyarrow")
 
 
 def attach_profiles(pairs, profiles, cfg: PipelineConfig,
                     n_pairs: int | None = None):
-    """Hash-join the narrow profile columns onto both sides of each pair.
-
-    Two hash-shuffle joins (Ray ``Dataset.join``). Profiles are narrow
-    (url, sig, simhash, n_tokens, title) — the html/text never reaches
-    here. At 100 TB the pair list after LSH is orders of magnitude
-    smaller than the input, so the joins shuffle the profile table twice
-    plus the pair list — far cheaper than carrying signatures through
-    the band-shuffle (8·num_perm bytes × lsh_bands per doc).
-    """
-    side = profiles.select_columns(["url", "sig", "simhash", "n_tokens", "title"])
+    """Hash-join attach (large-scale plan): two Dataset.joins on uid."""
+    side = profiles.select_columns(_PROFILE_COLS)
     a = side.rename_columns(
-        {"url": "url_a", "sig": "sig_a", "simhash": "simhash_a",
+        {"uid": "uid_a", "sig": "sig_a", "simhash": "simhash_a",
          "n_tokens": "n_tokens_a", "title": "title_a"}
     )
     b = side.rename_columns(
-        {"url": "url_b", "sig": "sig_b", "simhash": "simhash_b",
+        {"uid": "uid_b", "sig": "sig_b", "simhash": "simhash_b",
          "n_tokens": "n_tokens_b", "title": "title_b"}
     )
     try:  # profiles is materialized by the pipeline → count is cheap.
         # Partition count must be driven by the BIGGER side: the join
-        # output carries two signature blobs per pair (~2 KB/row), so
+        # output carries two signature blobs per pair (~1 KB/row), so
         # undersizing on the pair count serializes gigabytes through a
-        # couple of aggregator actors (measured 180 s → 30 s at 2.3M
-        # pairs when sized correctly).
+        # couple of aggregator actors.
         from ..config import partitions_for
 
         rows = max(profiles.count(), n_pairs or 0)
         n_part = partitions_for(rows, cfg, rows_per_partition=100_000)
     except Exception:
         n_part = effective_partitions(cfg)
-    joined = pairs.join(a, join_type="inner", num_partitions=n_part, on=("url_a",))
-    joined = joined.join(b, join_type="inner", num_partitions=n_part, on=("url_b",))
+    joined = pairs.join(a, join_type="inner", num_partitions=n_part, on=("uid_a",))
+    joined = joined.join(b, join_type="inner", num_partitions=n_part, on=("uid_b",))
     return joined
 
 
@@ -77,8 +128,8 @@ class PairScorer:
         if n == 0:
             return pa.table(
                 {
-                    "url_a": pa.array([], pa.string()),
-                    "url_b": pa.array([], pa.string()),
+                    "uid_a": pa.array([], pa.int64()),
+                    "uid_b": pa.array([], pa.int64()),
                     "est_jaccard": pa.array([], pa.float64()),
                     "simhash_hd": pa.array([], pa.int32()),
                     "len_ratio": pa.array([], pa.float64()),
@@ -115,8 +166,8 @@ class PairScorer:
             score = score + mc.w_title_jw * jw
         return pa.table(
             {
-                "url_a": batch.column("url_a"),
-                "url_b": batch.column("url_b"),
+                "uid_a": batch.column("uid_a"),
+                "uid_b": batch.column("uid_b"),
                 "est_jaccard": pa.array(ej, pa.float64()),
                 "simhash_hd": pa.array(hd, pa.int32()),
                 "len_ratio": pa.array(len_ratio, pa.float64()),
@@ -130,7 +181,14 @@ class PairScorer:
 def score_pairs(pairs, profiles, match_cfg: MatchConfig, cfg: PipelineConfig,
                 n_pairs: int | None = None):
     """pairs ⋈ profiles → scored pair Dataset (actor pool)."""
-    joined = attach_profiles(pairs, profiles, cfg, n_pairs=n_pairs)
+    try:
+        n_profiles = profiles.count()
+    except Exception:
+        n_profiles = None
+    if n_profiles is not None and n_profiles <= BROADCAST_PROFILES_MAX:
+        joined = attach_profiles_broadcast(pairs, profiles)
+    else:
+        joined = attach_profiles(pairs, profiles, cfg, n_pairs=n_pairs)
     return joined.map_batches(
         PairScorer,
         fn_constructor_kwargs={"match_cfg": match_cfg},
@@ -144,7 +202,7 @@ def matched_edges(scored):
     """Filter to matches and project the edge list (+score for reports)."""
     return scored.map_batches(
         lambda t: t.filter(t.column("is_match")).select(
-            ["url_a", "url_b", "score"]
+            ["uid_a", "uid_b", "score"]
         ),
         batch_format="pyarrow",
     )

@@ -77,10 +77,15 @@ def test_distributed_cc_matches_driver(resolved, corpus, ray_session):
     )
 
     art, clusters_driver = resolved
-    labels = connected_components(
-        art.profiles, art.edges, algorithm="distributed"
-    )
+    nodes = art.profiles.select_columns(["uid"]).rename_columns({"uid": "url"})
+    cc_edges = art.edges.rename_columns({"uid_a": "url_a", "uid_b": "url_b"})
+    labels = connected_components(nodes, cc_edges, algorithm="distributed")
     clusters_dist = clusters_with_size(labels).to_pandas()
-    assert cluster_partition(clusters_dist, "entity_id") == cluster_partition(
-        clusters_driver, "entity_id"
+    # compare as partitions over uids (the distributed path is uid-keyed)
+    driver_part = set(
+        frozenset(g) for _, g in clusters_driver.groupby("entity_id")["uid"]
     )
+    dist_part = set(
+        frozenset(g) for _, g in clusters_dist.groupby("entity_id")["url"]
+    )
+    assert dist_part == driver_part
