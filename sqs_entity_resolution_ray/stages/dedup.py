@@ -351,19 +351,53 @@ def ngram_jaccard_dedup(ds: rd.Dataset, text_col: str = "text",
     sketches = _doc_sketches(ds, text_col, id_col, mc).materialize()
     pairs = _sketch_pairs(sketches, mc, cfg).select_columns(
         ["doc_id_a", "doc_id_b"]
-    )
+    ).materialize()
+    if pairs.count() == 0:  # joining an empty (schema-less) side breaks
+        empty_edges = rd.from_arrow(pa.table({
+            "doc_id_a": pa.array([], pa.string()),
+            "doc_id_b": pa.array([], pa.string()),
+        }))
+        return _dedup_from_edges(sketches.select_columns(["doc_id"]),
+                                 empty_edges, cfg)
 
-    texts = ds.map_batches(
-        lambda t: pa.table({"doc_id": pc.cast(t.column(id_col), pa.string()),
-                            "text": t.column(text_col)}),
-        batch_format="pyarrow",
-    )
-    a = texts.rename_columns({"doc_id": "doc_id_a", "text": "text_a"})
-    b = texts.rename_columns({"doc_id": "doc_id_b", "text": "text_b"})
-    joined = pairs.join(a, join_type="inner", num_partitions=n_part,
-                        on=("doc_id_a",))
-    joined = joined.join(b, join_type="inner", num_partitions=n_part,
-                         on=("doc_id_b",))
+    n_docs = ds.count()
+    if n_docs <= 2_000_000:
+        # broadcast the texts once; look up per pair batch (no shuffle)
+        import ray
+
+        tdf = ds.map_batches(
+            lambda t: pa.table({"doc_id": pc.cast(t.column(id_col), pa.string()),
+                                "text": t.column(text_col)}),
+            batch_format="pyarrow",
+        ).to_pandas()
+        ref = ray.put(dict(zip(tdf["doc_id"], tdf["text"])))
+
+        def attach_texts(batch: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            return pa.table({
+                "doc_id_a": batch.column("doc_id_a"),
+                "doc_id_b": batch.column("doc_id_b"),
+                "text_a": pa.array(
+                    [m.get(x, "") for x in batch.column("doc_id_a").to_pylist()],
+                    pa.string()),
+                "text_b": pa.array(
+                    [m.get(x, "") for x in batch.column("doc_id_b").to_pylist()],
+                    pa.string()),
+            })
+
+        joined = pairs.map_batches(attach_texts, batch_format="pyarrow")
+    else:  # large-scale plan: chained hash joins
+        texts = ds.map_batches(
+            lambda t: pa.table({"doc_id": pc.cast(t.column(id_col), pa.string()),
+                                "text": t.column(text_col)}),
+            batch_format="pyarrow",
+        )
+        a = texts.rename_columns({"doc_id": "doc_id_a", "text": "text_a"})
+        b = texts.rename_columns({"doc_id": "doc_id_b", "text": "text_b"})
+        joined = pairs.join(a, join_type="inner", num_partitions=n_part,
+                            on=("doc_id_a",))
+        joined = joined.join(b, join_type="inner", num_partitions=n_part,
+                             on=("doc_id_b",))
 
     k = mc.shingle_k
 
