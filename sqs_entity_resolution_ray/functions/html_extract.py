@@ -46,8 +46,11 @@ _ANY_TAG_RE = re.compile(r"<[^>]+>")
 _LINE_WS_RE = re.compile(r"[ \t\r\f\v ]+")
 
 
-def extract_text(html: bytes | str) -> str:
-    """Extract plain text from one HTML document. Pure and frozen."""
+def extract_text(html: bytes | str | None) -> str:
+    """Extract plain text from one HTML document. Pure and frozen.
+    ``None`` (a null page body) extracts to the empty string."""
+    if html is None:
+        return ""
     if isinstance(html, (bytes, bytearray, memoryview)):
         s = bytes(html).decode("utf-8", errors="replace")
     else:
@@ -67,8 +70,10 @@ def extract_text(html: bytes | str) -> str:
     return "\n".join(lines)
 
 
-def extract_title(html: bytes | str) -> str:
+def extract_title(html: bytes | str | None) -> str:
     """Extract the <title> text (normalized like extract_text lines)."""
+    if html is None:
+        return ""
     if isinstance(html, (bytes, bytearray, memoryview)):
         s = bytes(html).decode("utf-8", errors="replace")
     else:
