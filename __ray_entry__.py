@@ -191,13 +191,17 @@ def q_semi_join(sf_dir: str):
 
     from sqs_entity_resolution_ray.stages.joins import broadcast_semi_join
 
+    import pyarrow.compute as pc
+
     cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t.column("c_nationkey"), 1)).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
     )
-    keys = [
-        r["c_custkey"]
-        for r in cust.filter(lambda r: r["c_nationkey"] == 1).take_all()
-    ]
+    keys = cust.unique("c_custkey")
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
