@@ -108,6 +108,24 @@ def q_ann_topk(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_ann_topk_ivf(sf_dir: str):
+    """IVF scale-path ANN (rows-only: approximate by design)."""
+    import numpy as np
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.stages.similarity import ann_topk_ivf
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = ds.to_pandas()
+    qdf = qdf[qdf["vec_id"] % 100 == 0]
+    out = ann_topk_ivf(
+        ds, qdf["vec_id"].to_numpy(),
+        np.asarray(qdf["embedding"].tolist(), dtype=np.float64),
+        k=5, n_lists=16, nprobe=4,
+    ).to_pandas()
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def q_language_id(sf_dir: str):
     from sqs_entity_resolution_ray.stages.text_analysis import language_id
 
@@ -336,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dedup": q_ngram_dedup,
         "embedding_dedup": q_embedding_dedup,
         "ann_topk": q_ann_topk,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "language_id": q_language_id,
         "token_count": q_token_count,
         "quality": q_quality,

@@ -40,14 +40,28 @@ _SENT_END_RE = re.compile(r"[.!?]")
 
 
 def detect_language(texts: pd.Series) -> pd.Series:
-    """Best-guess ISO 639-1 code per text via stopword-hit ratios.
+    """Best-guess ISO 639-1 code per text: CJK scripts by unicode range,
+    European languages by stopword-hit ratios.
 
-    Returns "und" (undetermined) when no language scores > 0.
+    Returns "und" (undetermined) when nothing scores.
     """
     langs = list(STOPWORDS)
     out = []
     for t in texts.fillna(""):
-        words = _WORD_RE.findall(t.lower()[:4000])
+        sample = t[:4000]
+        if sample:
+            cjk = sum(1 for c in sample[:500]
+                      if "\u4e00" <= c <= "\u9fff" or
+                      "\u3040" <= c <= "\u30ff" or
+                      "\uac00" <= c <= "\ud7af")
+            if cjk > len(sample[:500]) * 0.2:
+                # distinguish: kana → ja, hangul → ko, else zh
+                kana = sum(1 for c in sample[:500] if "\u3040" <= c <= "\u30ff")
+                hangul = sum(1 for c in sample[:500] if "\uac00" <= c <= "\ud7af")
+                out.append("ja" if kana > cjk * 0.2
+                           else ("ko" if hangul > cjk * 0.5 else "zh"))
+                continue
+        words = _WORD_RE.findall(sample.lower())
         if not words:
             out.append("und")
             continue

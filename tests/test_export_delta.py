@@ -168,3 +168,26 @@ def test_export_failure_rewinds(resolved, tmp_path, monkeypatch):
     assert tracker.tallies()["todo"] == 3
     assert tracker.tallies()["in_progress"] == 0
     assert not os.path.exists(str(tmp_path / "out" / "runX-export-delta"))
+
+
+def test_full_export_jsonl_report(resolved, tmp_path, ray_session):
+    """S6: the reference's JSONL entity report format (exporter.py:152-155)."""
+    import glob
+    import json
+    import os
+
+    from sqs_entity_resolution_ray.pipelines.export import full_export
+    from sqs_entity_resolution_ray.stages.report import entity_report
+
+    art, clusters = resolved
+    rep = entity_report(art.clusters, art.profiles, art.edges)
+    out = full_export(art.clusters, str(tmp_path / "out"), "runJ",
+                      report=rep, jsonl=True)
+    files = glob.glob(os.path.join(out, "report_jsonl", "*"))
+    assert files
+    lines = []
+    for f in files:
+        with open(f) as fh:
+            lines += [json.loads(l) for l in fh if l.strip()]
+    assert len(lines) == clusters["entity_id"].nunique()
+    assert {"entity_id", "cluster_size", "records"} <= set(lines[0])

@@ -89,3 +89,48 @@ def test_distributed_cc_matches_driver(resolved, corpus, ray_session):
         frozenset(g) for _, g in clusters_dist.groupby("entity_id")["url"]
     )
     assert dist_part == driver_part
+
+
+def test_doc_derived_corpus_truth(ray_session):
+    """The benchmark corpus (pages derived from the documents table):
+    (1) recall — all variants of one source doc share an entity;
+    (2) precision — clusters spanning several source docs are justified:
+    the testdata documents table itself contains seeded near-duplicate
+    docs (e.g. identical text + ' dup', Jaccard ≈ 0.96), so every doc
+    merged across sources must be a genuine near-dup of another doc in
+    its cluster."""
+    import duckdb
+    import pandas as pd
+
+    from sqs_entity_resolution_ray.pipelines.resolve import read_pages, resolve
+    from sqs_entity_resolution_ray.sources.corpus import pages_from_documents
+
+    d = pages_from_documents("/root/testdata/sf0.001")
+    clusters = resolve(read_pages(d + "/pages")).clusters.to_pandas()
+    clusters["doc"] = clusters["url"].str.extract(r"/(\d+)/v\d+$")[0].astype(int)
+
+    # (1) recall: one entity per source doc
+    assert (clusters.groupby("doc")["entity_id"].nunique() == 1).all()
+
+    # (2) precision: multi-doc clusters must be near-dup doc groups
+    texts = dict(
+        duckdb.sql(
+            "SELECT doc_id, text FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        ).fetchall()
+    )
+
+    def j3(a, b):
+        ta, tb = a.split(), b.split()
+        sa = set(zip(ta, ta[1:], ta[2:]))
+        sb = set(zip(tb, tb[1:], tb[2:]))
+        return len(sa & sb) / max(len(sa | sb), 1)
+
+    for _, grp in clusters.groupby("entity_id"):
+        docs = sorted(grp["doc"].unique())
+        if len(docs) == 1:
+            continue
+        for doc in docs:
+            assert any(
+                j3(texts[doc], texts[o]) >= 0.5 for o in docs if o != doc
+            ), f"doc {doc} merged without near-dup evidence: {docs}"

@@ -149,3 +149,30 @@ def test_broadcast_joins(ray_session):
     assert sorted(anti["k"]) == [1, 3]
     lk = broadcast_lookup(ds, "k", {1: "x", 2: "y"}, "tag", default="-").to_pandas()
     assert lk.sort_values("k")["tag"].tolist() == ["x", "y", "-", "-"]
+
+
+def test_language_id_cjk(ray_session):
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.stages.text_analysis import language_id
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "这是一个中文文档的示例文本内容 关于数据处理 系统设计",
+                "こんにちは世界 これはテストです ありがとう",
+                "안녕하세요 세계 이것은 테스트입니다 감사합니다",
+            ],
+        }
+    )
+    out = language_id(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert out["lang_pred"].tolist() == ["zh", "ja", "ko"]
+
+
+def test_ivf_query_entry(ray_session):
+    import __ray_entry__ as em
+
+    out = em.queries()["ann_topk_ivf"]("/root/testdata/sf0.001")
+    assert len(out) > 0
+    assert {"query_id", "vec_id", "sim", "rank"} <= set(out.columns)
