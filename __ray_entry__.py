@@ -12,8 +12,17 @@ Column names in each Ray result match the oracle SQL aliases exactly
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# make the library importable regardless of the driver's cwd (Ray
+# workers additionally resolve it via the driver's working directory —
+# run drivers from the repo root)
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
