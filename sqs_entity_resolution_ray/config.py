@@ -40,9 +40,16 @@ class MatchConfig:
     # labeled-pairs fixture: negative scores top out ≈0.26, positive
     # scores bottom out ≈0.60 — see tests/test_scoring.py)
     threshold: float = 0.45
-    # short-field similarity gate (Jaro-Winkler on titles) used as a
-    # soft booster, not a hard gate
-    w_title_jw: float = 0.0
+    # short-document guard: below this many shingles, boilerplate (nav/
+    # footer) dominates a page's shingle set and unrelated short pages
+    # can cross the combined-score threshold on chrome alone — require
+    # strong MinHash agreement instead
+    short_doc_shingles: int = 48
+    short_doc_min_jaccard: float = 0.55
+    # short-field similarity booster: Jaro-Winkler on titles (north
+    # rule's JW/Levenshtein signals; titles are short so the per-pair
+    # cost is bounded). Soft booster, not a hard gate.
+    w_title_jw: float = 0.05
 
     def __post_init__(self) -> None:
         if self.lsh_bands * self.lsh_rows != self.num_perm:

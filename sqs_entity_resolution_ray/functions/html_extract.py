@@ -7,11 +7,14 @@ analogue is Senzing's internal feature normalization, observable only in
 output ``FEAT_DESC_VALUES`` (reference ``test/fixtures/flow-output.jsonl:1-2``
 unifies ``Mar 1 1970`` ≡ ``3/1/1970``).
 
-Contract (version 1 — bump ``EXTRACTOR_VERSION`` if ANY behavior changes):
+Contract (version 2 — bump ``EXTRACTOR_VERSION`` if ANY behavior changes):
 
 1. Decode bytes as UTF-8 (``errors="replace"``).
 2. Drop ``<!-- -->`` comments, ``<script>``/``<style>``/``<noscript>``/
-   ``<template>`` elements, and the entire ``<head>``.
+   ``<template>`` elements, the entire ``<head>``, and the boilerplate
+   containers ``<nav>``/``<footer>``/``<header>``/``<aside>`` (main-
+   content extraction: site chrome otherwise dominates the shingle sets
+   of short pages and near-dups them across unrelated sites).
 3. Block-level tags (p, div, br, li, tr, h1-h6, …) become newlines;
    all other tags are deleted.
 4. HTML entities are unescaped (``&amp;`` → ``&``).
@@ -27,11 +30,12 @@ import html as _html
 import re
 import unicodedata
 
-EXTRACTOR_VERSION = 1
+EXTRACTOR_VERSION = 2
 
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
 _DROP_ELEMENT_RE = re.compile(
-    r"<(script|style|noscript|template)\b[^>]*>.*?</\1\s*>",
+    r"<(script|style|noscript|template|nav|footer|header|aside)\b[^>]*>"
+    r".*?</\1\s*>",
     re.DOTALL | re.IGNORECASE,
 )
 _HEAD_RE = re.compile(r"<head\b[^>]*>.*?</head\s*>", re.DOTALL | re.IGNORECASE)

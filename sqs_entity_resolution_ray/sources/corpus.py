@@ -32,7 +32,7 @@ import pyarrow.parquet as pq
 from ..functions.hashing import stable_rng
 from ..functions.html_extract import extract_text
 
-CORPUS_VERSION = 5
+CORPUS_VERSION = 6
 
 # Fixed 512-word vocabulary (deterministic, generated from a seeded walk
 # over consonant-vowel syllables — no external wordlist).

@@ -28,7 +28,7 @@ from ..config import (
     effective_partitions,
 )
 from ..functions.simhash import hamming64
-from ..functions.strsim import batch_jaro_winkler
+from ..functions.strsim import batch_jaro_winkler, batch_levenshtein_ratio
 
 BROADCAST_PROFILES_MAX = 2_000_000
 
@@ -158,12 +158,28 @@ class PairScorer:
             + mc.w_simhash * (1.0 - hd / 64.0)
             + mc.w_length * len_ratio
         )
+        title_jw = np.zeros(n)
         if mc.w_title_jw > 0:
-            jw = batch_jaro_winkler(
+            title_jw = batch_jaro_winkler(
                 batch.column("title_a").to_pylist(),
                 batch.column("title_b").to_pylist(),
             )
-            score = score + mc.w_title_jw * jw
+            score = score + mc.w_title_jw * title_jw
+        # bounded Levenshtein on titles for BORDERLINE pairs only (the
+        # expensive O(len²) signal is computed where it can matter)
+        title_lev = np.full(n, -1.0)
+        gray = np.flatnonzero(np.abs(score - mc.threshold) < 0.15)
+        if len(gray):
+            ta = batch.column("title_a").to_pylist()
+            tb = batch.column("title_b").to_pylist()
+            title_lev[gray] = batch_levenshtein_ratio(
+                [ta[i] for i in gray], [tb[i] for i in gray]
+            )
+        is_match = score >= mc.threshold
+        # short-doc guard (MatchConfig.short_doc_shingles): chrome-heavy
+        # short pages must agree strongly on content shingles
+        short = np.minimum(na, nb) < mc.short_doc_shingles
+        is_match &= ~short | (ej >= mc.short_doc_min_jaccard)
         return pa.table(
             {
                 "uid_a": batch.column("uid_a"),
@@ -171,8 +187,10 @@ class PairScorer:
                 "est_jaccard": pa.array(ej, pa.float64()),
                 "simhash_hd": pa.array(hd, pa.int32()),
                 "len_ratio": pa.array(len_ratio, pa.float64()),
+                "title_jw": pa.array(title_jw, pa.float64()),
+                "title_lev": pa.array(title_lev, pa.float64()),
                 "score": pa.array(score, pa.float64()),
-                "is_match": pa.array(score >= mc.threshold, pa.bool_()),
+                "is_match": pa.array(is_match, pa.bool_()),
                 "block_size": batch.column("block_size"),
             }
         )
