@@ -93,18 +93,34 @@ def q_embedding_dedup(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _query_vectors(sf_dir: str, modulus: int = 100):
+    """Query-selection helper: filter vec_id % modulus == 0 INSIDE
+    map_batches (distributed, column-complete), then to_pandas only the
+    small selected set — never the whole embeddings table."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def pick(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        mask = t.column("vec_id").to_numpy(zero_copy_only=False) % modulus == 0
+        return t.filter(pa.array(mask)).select(["vec_id", "embedding"])
+
+    qdf = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    return ds, qdf
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-5 for every vec_id % 100 == 0 query.
     Returns (query_id, neighbor_id) pairs — rank/sim omitted so the
     comparison is float-precision-robust at the set level."""
     import numpy as np
-    import ray.data as rd
 
     from sqs_entity_resolution_ray.stages.similarity import ann_topk_bruteforce
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    qdf = ds.to_pandas()
-    qdf = qdf[qdf["vec_id"] % 100 == 0]
+    ds, qdf = _query_vectors(sf_dir)
     out = ann_topk_bruteforce(
         ds,
         qdf["vec_id"].to_numpy(),
@@ -120,13 +136,10 @@ def q_ann_topk(sf_dir: str):
 def q_ann_topk_ivf(sf_dir: str):
     """IVF scale-path ANN (rows-only: approximate by design)."""
     import numpy as np
-    import ray.data as rd
 
     from sqs_entity_resolution_ray.stages.similarity import ann_topk_ivf
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    qdf = ds.to_pandas()
-    qdf = qdf[qdf["vec_id"] % 100 == 0]
+    ds, qdf = _query_vectors(sf_dir)
     out = ann_topk_ivf(
         ds, qdf["vec_id"].to_numpy(),
         np.asarray(qdf["embedding"].tolist(), dtype=np.float64),
@@ -402,8 +415,12 @@ def oracle_sql() -> dict[str, str]:
             "AS n_tokens FROM documents"
         ),
         "doc_stats": (
+            # CAST: DuckDB sum(INT) yields HUGEINT (→float64 in pandas)
+            # while Ray's Sum produces int64 — same values, different
+            # dtype, different value-hash in the driver.
             "SELECT source, lang, count(*) AS n_docs, "
-            "sum(n_chars) AS sum_chars, min(doc_id) AS min_doc_id, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "min(doc_id) AS min_doc_id, "
             "max(doc_id) AS max_doc_id FROM documents GROUP BY source, lang"
         ),
         "lang_filter": (

@@ -34,23 +34,41 @@ def hash_aggregate(
 ) -> rd.Dataset:
     """``agg_spec``: out_col → (in_col, fn) with fn ∈ {sum,count,min,max}.
 
-    For ``count``, ``in_col`` may be any non-null column (SQL count(*)
-    over the group)."""
+    ``count`` is SQL ``count(*)`` — group row count, null-inclusive
+    (implemented via groupby.size, not pandas' null-excluding count);
+    ``in_col`` is ignored for count."""
     keys = list(keys)
     for out_col, (in_col, fn) in agg_spec.items():
         if fn not in _PARTIAL_FN:
             raise ValueError(f"unsupported agg fn {fn!r} for {out_col!r}")
 
+    def _empty_partial(batch: pd.DataFrame) -> pa.Table:
+        # typed empty table (an untyped one breaks block unions /
+        # triggers RefBundle schema warnings downstream)
+        typed = pa.Table.from_pandas(batch[keys].head(0), preserve_index=False)
+        cols: dict[str, pa.Array] = {
+            k: pa.array([], typed.schema.field(k).type) for k in keys
+        }
+        in_typed = pa.Table.from_pandas(
+            batch[[c for c, _ in agg_spec.values()]].head(0),
+            preserve_index=False,
+        )
+        for out_col, (in_col, fn) in agg_spec.items():
+            t = pa.int64() if fn == "count" else in_typed.schema.field(in_col).type
+            cols[out_col] = pa.array([], t)
+        cols["part"] = pa.array([], pa.int64())
+        return pa.table(cols)
+
     def partial(batch: pd.DataFrame) -> pa.Table:
         if len(batch) == 0:
-            return pa.Table.from_pandas(
-                pd.DataFrame(columns=keys + list(agg_spec) + ["part"]),
-                preserve_index=False,
-            )
+            return _empty_partial(batch)
         g = batch.groupby(keys, sort=False, dropna=False)
         pieces = {}
         for out_col, (in_col, fn) in agg_spec.items():
-            pieces[out_col] = g[in_col].agg(_PARTIAL_FN[fn])
+            if fn == "count":
+                pieces[out_col] = g.size()
+            else:
+                pieces[out_col] = g[in_col].agg(_PARTIAL_FN[fn])
         out = pd.DataFrame(pieces).reset_index()
         key_hash = pd.util.hash_pandas_object(out[keys], index=False)
         out["part"] = (key_hash % np.uint64(num_partitions)).astype(np.int64)

@@ -215,14 +215,19 @@ def clusters_with_size(labels, cfg: PipelineConfig | None = None):
         )
 
     if n_clusters <= BROADCAST_MAX_ROWS:
+        # sorted-array broadcast + searchsorted gather (vectorized; no
+        # Python dict shipped per batch)
         sdf = sizes.to_pandas()
-        ref = ray.put(dict(zip(sdf["label"].astype("int64"),
-                               sdf["cluster_size"].astype("int64"))))
+        lab_arr = sdf["label"].to_numpy().astype(np.int64)
+        order = np.argsort(lab_arr)
+        ref = ray.put((lab_arr[order],
+                       sdf["cluster_size"].to_numpy()[order].astype(np.int64)))
 
         def attach(batch: pa.Table) -> pa.Table:
-            m = ray.get(ref)
+            lab_s, size_s = ray.get(ref)
             lab = batch.column("label").to_numpy(zero_copy_only=False)
-            cs = pa.array([int(m[int(x)]) for x in lab], pa.int64())
+            idx = np.searchsorted(lab_s, lab)
+            cs = pa.array(size_s[idx], pa.int64())
             return fmt(batch.append_column("cluster_size", cs))
 
         return labels.map_batches(attach, batch_format="pyarrow")

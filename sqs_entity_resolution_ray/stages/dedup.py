@@ -115,20 +115,26 @@ def _dedup_from_edges(ids_ds: rd.Dataset, edges: rd.Dataset,
         {"rep_id": ("url", "min"), "cluster_size": ("url", "count")},
     ).materialize()
     n_reps = reps.count()
-    if n_reps <= 5_000_000:  # broadcast the (label → rep, size) map
+    if n_reps <= 5_000_000:
+        # broadcast sorted numpy arrays once; per-batch vectorized
+        # searchsorted gather (no Python dict, no per-row loop — the
+        # attach_url_strings pattern, pipelines/resolve.py)
         rdf = reps.to_pandas()
-        ref = ray.put({int(l): (r, int(c)) for l, r, c in
-                       zip(rdf["label"], rdf["rep_id"], rdf["cluster_size"])})
+        order = np.argsort(rdf["label"].to_numpy())
+        ref = ray.put((
+            rdf["label"].to_numpy()[order].astype(np.int64),
+            rdf["rep_id"].to_numpy()[order],
+            rdf["cluster_size"].to_numpy()[order].astype(np.int64),
+        ))
 
         def attach(batch: pa.Table) -> pa.Table:
-            m = ray.get(ref)
+            lab_s, rep_s, size_s = ray.get(ref)
             labs = batch.column("label").to_numpy(zero_copy_only=False)
-            rep = [m[int(x)][0] for x in labs]
-            size = [m[int(x)][1] for x in labs]
+            idx = np.searchsorted(lab_s, labs)
             return pa.table({
                 "doc_id": batch.column("url"),
-                "rep_id": pa.array(rep, pa.string()),
-                "cluster_size": pa.array(size, pa.int64()),
+                "rep_id": pa.array(list(rep_s[idx]), pa.string()),
+                "cluster_size": pa.array(size_s[idx], pa.int64()),
             })
 
         return labels.map_batches(attach, batch_format="pyarrow")
@@ -339,6 +345,12 @@ def simhash_dedup(ds: rd.Dataset, text_col: str = "text",
     return _dedup_from_edges(sketches.select_columns(["doc_id"]), pairs, cfg)
 
 
+# broadcast the text side of the ngram verify only below this many TEXT
+# bytes (~what a driver/worker heap comfortably holds twice over);
+# above it, the chained-hash-join plan is the default.
+NGRAM_BROADCAST_MAX_BYTES = 256 * 2**20
+
+
 def ngram_jaccard_dedup(ds: rd.Dataset, text_col: str = "text",
                         id_col: str = "doc_id", threshold: float = 0.7,
                         mc: MatchConfig | None = None,
@@ -360,38 +372,47 @@ def ngram_jaccard_dedup(ds: rd.Dataset, text_col: str = "text",
         return _dedup_from_edges(sketches.select_columns(["doc_id"]),
                                  empty_edges, cfg)
 
-    n_docs = ds.count()
-    if n_docs <= 2_000_000:
-        # broadcast the texts once; look up per pair batch (no shuffle)
+    texts = ds.map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t.column(id_col), pa.string()),
+                            "text": t.column(text_col)}),
+        batch_format="pyarrow",
+    )
+    # byte-capped broadcast: total TEXT bytes (not row count) decide —
+    # a 2M-doc row threshold would put ~16 GB of text on the driver.
+    total_bytes = int(
+        ds.map_batches(
+            lambda t: pa.table({"b": pa.array(
+                [pc.sum(pc.binary_length(
+                    pc.cast(pc.fill_null(t.column(text_col), ""), pa.string())
+                )).as_py() or 0], pa.int64())}),
+            batch_format="pyarrow",
+        ).sum("b") or 0
+    )
+    if total_bytes <= NGRAM_BROADCAST_MAX_BYTES:
+        # small corpus: broadcast sorted (doc_id, text) arrays once;
+        # vectorized searchsorted gather per pair batch (no shuffle)
         import ray
 
-        tdf = ds.map_batches(
-            lambda t: pa.table({"doc_id": pc.cast(t.column(id_col), pa.string()),
-                                "text": t.column(text_col)}),
-            batch_format="pyarrow",
-        ).to_pandas()
-        ref = ray.put(dict(zip(tdf["doc_id"], tdf["text"])))
+        tdf = texts.to_pandas()
+        order = np.argsort(tdf["doc_id"].to_numpy())
+        ref = ray.put((tdf["doc_id"].to_numpy()[order],
+                       tdf["text"].to_numpy()[order]))
 
         def attach_texts(batch: pa.Table) -> pa.Table:
-            m = ray.get(ref)
+            ids_s, txt_s = ray.get(ref)
+            ia = np.searchsorted(
+                ids_s, batch.column("doc_id_a").to_numpy(zero_copy_only=False))
+            ib = np.searchsorted(
+                ids_s, batch.column("doc_id_b").to_numpy(zero_copy_only=False))
             return pa.table({
                 "doc_id_a": batch.column("doc_id_a"),
                 "doc_id_b": batch.column("doc_id_b"),
-                "text_a": pa.array(
-                    [m.get(x, "") for x in batch.column("doc_id_a").to_pylist()],
-                    pa.string()),
-                "text_b": pa.array(
-                    [m.get(x, "") for x in batch.column("doc_id_b").to_pylist()],
-                    pa.string()),
+                "text_a": pa.array(list(txt_s[ia]), pa.string()),
+                "text_b": pa.array(list(txt_s[ib]), pa.string()),
             })
 
         joined = pairs.map_batches(attach_texts, batch_format="pyarrow")
-    else:  # large-scale plan: chained hash joins
-        texts = ds.map_batches(
-            lambda t: pa.table({"doc_id": pc.cast(t.column(id_col), pa.string()),
-                                "text": t.column(text_col)}),
-            batch_format="pyarrow",
-        )
+    else:  # default scale plan: chained hash joins (texts never broadcast)
         a = texts.rename_columns({"doc_id": "doc_id_a", "text": "text_a"})
         b = texts.rename_columns({"doc_id": "doc_id_b", "text": "text_b"})
         joined = pairs.join(a, join_type="inner", num_partitions=n_part,
@@ -402,15 +423,27 @@ def ngram_jaccard_dedup(ds: rd.Dataset, text_col: str = "text",
     k = mc.shingle_k
 
     def verify(batch: pa.Table) -> pa.Table:
+        """Exact-Jaccard verify: each DISTINCT doc in the batch is
+        shingled ONCE (a doc in m candidate pairs is not re-shingled m
+        times); per-pair work is a sorted-array intersection."""
         ta = batch.column("text_a").to_pylist()
         tb = batch.column("text_b").to_pylist()
+        ids_a = batch.column("doc_id_a").to_pylist()
+        ids_b = batch.column("doc_id_b").to_pylist()
+        uniq: dict[str, int] = {}
+        utexts: list[str] = []
+        for i, t in zip(ids_a + ids_b, ta + tb):
+            if i not in uniq:
+                uniq[i] = len(utexts)
+                utexts.append(t or "")
+        flat, off = shingle_doc_hashes(utexts, k)
+        usets = [np.unique(flat[off[i]:off[i + 1]])
+                 for i in range(len(utexts))]
         keep = np.zeros(batch.num_rows, dtype=bool)
-        for i, (x, y) in enumerate(zip(ta, tb)):
-            fa, oa = shingle_doc_hashes([x or ""], k)
-            fb, ob = shingle_doc_hashes([y or ""], k)
-            sa_set, sb_set = set(fa.tolist()), set(fb.tolist())
-            inter = len(sa_set & sb_set)
-            union = len(sa_set | sb_set)
+        for i, (a_, b_) in enumerate(zip(ids_a, ids_b)):
+            ua, ub = usets[uniq[a_]], usets[uniq[b_]]
+            inter = len(np.intersect1d(ua, ub, assume_unique=True))
+            union = len(ua) + len(ub) - inter
             keep[i] = union > 0 and inter / union >= threshold
         return pa.table({
             "doc_id_a": batch.column("doc_id_a").filter(pa.array(keep)),

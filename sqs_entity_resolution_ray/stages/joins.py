@@ -36,12 +36,25 @@ def broadcast_semi_join(ds: rd.Dataset, key_col: str, keys,
 
 def broadcast_lookup(ds: rd.Dataset, key_col: str, mapping: dict,
                      out_col: str, default=None) -> rd.Dataset:
-    """Attach a looked-up column from a broadcast dict (dimension join)."""
-    ref = ray.put(mapping)
+    """Attach a looked-up column from a broadcast small side (dimension
+    join). The mapping ships ONCE as sorted numpy key/value arrays; each
+    batch gathers with a vectorized searchsorted (+mask for missing keys)
+    — no Python dict or per-row loop."""
+    import numpy as np
+
+    keys_arr = np.asarray(list(mapping.keys()))
+    vals_arr = np.asarray(list(mapping.values()))
+    order = np.argsort(keys_arr)
+    ref = ray.put((keys_arr[order], vals_arr[order]))
 
     def f(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        vals = [m.get(k, default) for k in batch.column(key_col).to_pylist()]
-        return batch.append_column(out_col, pa.array(vals))
+        ks, vs = ray.get(ref)
+        bk = np.asarray(batch.column(key_col).to_numpy(zero_copy_only=False))
+        idx = np.searchsorted(ks, bk)
+        idx_c = np.minimum(idx, len(ks) - 1)
+        hit = ks[idx_c] == bk
+        out = vs[idx_c].astype(object)
+        out[~hit] = default
+        return batch.append_column(out_col, pa.array(out.tolist()))
 
     return ds.map_batches(f, batch_format="pyarrow")

@@ -133,6 +133,8 @@ class PairScorer:
                     "est_jaccard": pa.array([], pa.float64()),
                     "simhash_hd": pa.array([], pa.int32()),
                     "len_ratio": pa.array([], pa.float64()),
+                    "title_jw": pa.array([], pa.float64()),
+                    "title_lev": pa.array([], pa.float64()),
                     "score": pa.array([], pa.float64()),
                     "is_match": pa.array([], pa.bool_()),
                     "block_size": pa.array([], pa.int32()),

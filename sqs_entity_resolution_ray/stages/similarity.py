@@ -60,17 +60,26 @@ class _PartialTopK:
         sims = self.q @ _unit(embs).T  # (n_queries, batch)
         n_q, n_b = sims.shape
         k = min(self.k + (1 if self.exclude_self else 0), n_b)
-        # local top-k per query
-        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
         out_q, out_v, out_s = [], [], []
         for qi in range(n_q):
-            cols = part[qi]
-            for c in cols:
+            row = sims[qi]
+            # exact local top-k under (sim desc, vec_id asc): take every
+            # element tied with the k-th value, then order ties by vec_id
+            # — a sim-only argpartition could drop the lower vec_id of an
+            # exact tie straddling the local k boundary.
+            kth = np.partition(row, n_b - k)[n_b - k]
+            cand = np.flatnonzero(row >= kth)
+            cand = cand[np.lexsort((ids[cand], -row[cand]))]
+            taken = 0
+            for c in cand:
+                if taken >= k:
+                    break
                 if self.exclude_self and ids[c] == self.qids[qi]:
                     continue
                 out_q.append(self.qids[qi])
-                out_v.append(ids[c])
-                out_s.append(float(sims[qi, c]))
+                out_v.append(int(ids[c]))
+                out_s.append(float(row[c]))
+                taken += 1
         return pa.table({"query_id": pa.array(out_q, pa.int64()),
                          "vec_id": pa.array(out_v, pa.int64()),
                          "sim": pa.array(out_s, pa.float64())})

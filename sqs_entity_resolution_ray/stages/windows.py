@@ -51,25 +51,46 @@ def session_windows(
     key_col: str = "user_id",
     ts_col: str = "ts",
     gap: str = "30min",
+    num_partitions: int = 64,
 ) -> rd.Dataset:
-    """Session windows per key (gap-based), via groupby(key).map_groups
-    over ts-sorted groups — the documented partitioning assumption is
-    that one key's events fit one group (holds for per-user streams).
+    """Session windows per key (gap-based), partition-level: keys are
+    hash-bucketed so ONE ``map_groups`` call sessionizes a whole
+    partition vectorized (sort by (key, ts) → diff → cumsum → groupby) —
+    never one Python call per key, which collapses at millions of keys
+    (the measured scaling cliff, stages/blocking.py). The partitioning
+    assumption: all events of one key land in one partition (guaranteed
+    by the key hash); partitions stream, keys don't need to fit memory
+    together beyond a partition.
 
     Returns (key, session_start, session_end, n_events).
     """
+    import numpy as np
+    import pyarrow as pa
+
     gap_td = pd.Timedelta(gap)
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(ts_col)
-        new_session = g[ts_col].diff() > gap_td
-        sid = new_session.cumsum()
-        out = g.groupby(sid).agg(
-            session_start=(ts_col, "min"),
-            session_end=(ts_col, "max"),
-            n_events=(ts_col, "size"),
+    def assign_part(batch: pd.DataFrame) -> pa.Table:
+        df = batch[[key_col, ts_col]].copy()
+        key_hash = pd.util.hash_pandas_object(df[key_col], index=False)
+        df["part"] = (key_hash % np.uint64(num_partitions)).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def sessions_in_partition(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col], kind="mergesort")
+        key_change = g[key_col] != g[key_col].shift()
+        new_session = key_change | (g[ts_col].diff() > gap_td)
+        sid = new_session.cumsum()  # globally increasing across keys
+        out = g.groupby(sid, sort=True).agg(
+            **{
+                key_col: (key_col, "first"),
+                "session_start": (ts_col, "min"),
+                "session_end": (ts_col, "max"),
+                "n_events": (ts_col, "size"),
+            }
         )
-        out[key_col] = g[key_col].iloc[0]
         return out[[key_col, "session_start", "session_end", "n_events"]]
 
-    return events.groupby(key_col).map_groups(sessions, batch_format="pandas")
+    assigned = events.map_batches(assign_part, batch_format="pandas")
+    return assigned.groupby("part", num_partitions=num_partitions).map_groups(
+        sessions_in_partition, batch_format="pandas"
+    )

@@ -78,9 +78,13 @@ class Tracker:
 
     def add_entity_ids(self, entity_ids: list[str]) -> int:
         """Append TODO rows (db.py:26-39). Re-adding an id that is DONE
-        re-queues it; an id already TODO/IN_PROGRESS is left alone."""
+        or IN_PROGRESS re-queues it (a fresh TODO row even while an
+        export is claiming the id — matching db.py, where add_entity_id
+        always inserts; otherwise an entity re-affected mid-export is
+        marked DONE by complete_export and the newer change is lost).
+        Only an existing TODO row dedupes."""
         df = self._load()
-        active = set(df.loc[df["status"].isin([TODO, IN_PROGRESS]), "entity_id"])
+        active = set(df.loc[df["status"] == TODO, "entity_id"])
         new = [e for e in dict.fromkeys(entity_ids) if e not in active]
         if not new:
             return 0

@@ -121,3 +121,17 @@ def test_embedding_dedup(ray_session):
     assert merged >= n_dup_groups - 1
     # no false merges across groups
     assert out["rep_id"].nunique() >= 30 - 1
+
+
+def test_ngram_dedup_join_path_matches_broadcast(docs, ray_session, monkeypatch):
+    """The chained-hash-join attach (the ≥byte-cap scale path) must
+    produce the same clusters as the broadcast attach."""
+    from sqs_entity_resolution_ray.stages import dedup as dd
+
+    ds, df, truth = docs
+    broadcast = dd.ngram_jaccard_dedup(ds, threshold=0.6).to_pandas()
+    monkeypatch.setattr(dd, "NGRAM_BROADCAST_MAX_BYTES", 0)
+    joined = dd.ngram_jaccard_dedup(ds, threshold=0.6).to_pandas()
+    b = broadcast.sort_values("doc_id").reset_index(drop=True)
+    j = joined.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, j)
