@@ -332,6 +332,38 @@ def q_top_parts(sf_dir: str):
     return agg.sort(["total_qty", "l_partkey"], descending=[True, False]).limit(10)
 
 
+def q_dim_join(sf_dir: str):
+    """Broadcast dimension join: attach n_name to customers via a
+    25-row broadcast side (no shuffle)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.stages.joins import broadcast_lookup
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    mapping = dict(zip(nat.column("n_nationkey").to_pylist(),
+                       nat.column("n_name").to_pylist()))
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    return broadcast_lookup(cust, "c_nationkey", mapping,
+                            "n_name").select_columns(["c_custkey", "n_name"])
+
+
+def q_top_orders_per_cust(sf_dir: str):
+    """Grouped top-N (windowed rank): each customer's 3 biggest orders."""
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.stages.agg import hash_topn
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+    return hash_topn(orders, ["o_custkey"], "o_totalprice", 3,
+                     tie_cols=["o_orderkey"])
+
+
 def q_records_er(sf_dir: str):
     """Record-model ER on the deterministic people fixture (rows-only)."""
     import ray.data as rd
@@ -391,13 +423,169 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": q_session_windows,
         "lineitem_agg": q_lineitem_agg,
         "top_parts": q_top_parts,
+        "dim_join": q_dim_join,
+        "top_orders_per_cust": q_top_orders_per_cust,
     }
+
+
+# Shared CC tail for the dedup oracles: symmetric closure → transitive
+# reach → min-id representative (lexicographic min over VARCHAR ids —
+# matching the engine's string-keyed representative election in
+# stages/dedup.py _dedup_from_edges) → cluster sizes.
+_CC_TAIL = (
+    "sym AS (SELECT ida AS a, idb AS b FROM edges "
+    "UNION SELECT idb, ida FROM edges), "
+    "reach AS ("
+    "  SELECT id AS a, id AS b FROM ids "
+    "  UNION "
+    "  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a), "
+    "comp AS (SELECT a AS id, min(b) AS rep_id FROM reach GROUP BY a), "
+    "sizecnt AS (SELECT rep_id, count(*) AS cluster_size FROM comp "
+    "GROUP BY rep_id) "
+    "SELECT CAST(c.id AS BIGINT) AS doc_id, c.rep_id, s.cluster_size "
+    "FROM comp c JOIN sizecnt s USING (rep_id)"
+)
+
+_STOP_EN = ("('the','and','of','to','a','in','is','that','it','for','was',"
+            "'on','with','as','are','be','this','at','by','not')")
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "ngram_dedup": (
+            # all-pairs EXACT 3-token-shingle Jaccard ≥ 0.7 + transitive
+            # clustering — the SQL mirror of stages/dedup.py
+            # ngram_jaccard_dedup (token regex matches the byte-level
+            # [a-z0-9_] tokenizer on this all-ASCII corpus; docs with <3
+            # tokens contribute their full token string as the single
+            # fallback shingle, as shingle_doc_hashes does).
+            "WITH RECURSIVE toks AS ("
+            "  SELECT CAST(doc_id AS VARCHAR) AS id,"
+            "  regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk"
+            "  FROM documents), "
+            "ids AS (SELECT id FROM toks), "
+            "sh AS ("
+            "  SELECT DISTINCT id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]"
+            "    AS s"
+            "  FROM toks, UNNEST(range(1, len(tk)-1)) AS t(i)"
+            "  WHERE len(tk) >= 3 "
+            "  UNION "
+            "  SELECT id, array_to_string(tk, ' ') AS s FROM toks"
+            "  WHERE len(tk) < 3), "
+            "sizes AS (SELECT id, count(*) AS ns FROM sh GROUP BY id), "
+            "inter AS ("
+            "  SELECT a.id AS ida, b.id AS idb, count(*) AS ni"
+            "  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id"
+            "  GROUP BY 1, 2), "
+            "edges AS ("
+            "  SELECT ida, idb FROM inter"
+            "  JOIN sizes sa ON sa.id = inter.ida"
+            "  JOIN sizes sb ON sb.id = inter.idb"
+            "  WHERE ni * 1.0 / (sa.ns + sb.ns - ni) >= 0.7), "
+            + _CC_TAIL
+        ),
+        "embedding_dedup": (
+            # all-pairs cosine ≥ 0.98 + transitive clustering — the SQL
+            # mirror of stages/dedup.py embedding_dedup.
+            "WITH RECURSIVE ids AS "
+            "(SELECT CAST(vec_id AS VARCHAR) AS id FROM embeddings), "
+            "edges AS ("
+            "  SELECT CAST(a.vec_id AS VARCHAR) AS ida,"
+            "         CAST(b.vec_id AS VARCHAR) AS idb"
+            "  FROM embeddings a, embeddings b"
+            "  WHERE a.vec_id < b.vec_id"
+            "    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+            "        CAST(b.embedding AS DOUBLE[])) >= 0.98), "
+            + _CC_TAIL
+        ),
+        "quality": (
+            # exact SQL mirror of functions/textstats.py quality_scores
+            # (ASCII corpus: RE2's \\w ≡ Python's \\w, lower ≡ casefold);
+            # the composite reproduces the numpy expression op-for-op so
+            # doubles are bit-identical.
+            r"WITH base AS ("
+            r"  SELECT doc_id, text,"
+            r"    length(text) AS n_chars,"
+            r"    len(regexp_extract_all(text, '\S+')) AS n_tokens,"
+            r"    length(regexp_replace(text, '\s', '', 'g')) AS n_nonws,"
+            r"    length(regexp_replace(text, '[^.!?]', '', 'g'))"
+            r"      AS sentence_count,"
+            r"    CASE WHEN length(text) > 0 THEN"
+            r"      length(regexp_replace(text, '[\w\s]', '', 'g')) * 1.0"
+            r"      / length(text) ELSE 0.0 END AS punct_ratio,"
+            r"    CASE WHEN length(text) > 0 THEN"
+            r"      length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0"
+            r"      / length(text) ELSE 0.0 END AS digit_ratio,"
+            r"    CASE WHEN len(regexp_extract_all(text, '\S+')) > 0 THEN"
+            r"      len(list_filter(regexp_extract_all(text, '\S+'),"
+            r"        w -> trim(lower(w), '.,;:!?\"''()') IN " + _STOP_EN +
+            r"      )) * 1.0 / len(regexp_extract_all(text, '\S+'))"
+            r"      ELSE 0.0 END AS stopword_ratio"
+            r"  FROM documents), "
+            r"m AS (SELECT *, CASE WHEN n_tokens > 0 THEN"
+            r"  n_nonws * 1.0 / n_tokens ELSE 0.0 END AS mean_token_len"
+            r"  FROM base) "
+            r"SELECT doc_id, n_chars, n_tokens, mean_token_len, punct_ratio,"
+            r" stopword_ratio, digit_ratio, sentence_count,"
+            r" least(greatest(stopword_ratio / 0.4, 0.0), 1.0) * 0.4"
+            r" + least(greatest(1.0 - abs(mean_token_len - 5.0) / 5.0, 0.0),"
+            r"   1.0) * 0.2"
+            r" + least(greatest(1.0 - punct_ratio / 0.2, 0.0), 1.0) * 0.2"
+            r" + least(greatest(1.0 - digit_ratio / 0.2, 0.0), 1.0) * 0.1"
+            r" + CASE WHEN sentence_count > 0 THEN 0.1 ELSE 0.0 END"
+            r" AS quality FROM m"
+        ),
+        "language_id": (
+            # exact SQL mirror of functions/textstats.py detect_language:
+            # CJK script ratios on the first 500 chars, else stopword-hit
+            # argmax over {en,es,de,fr} with first-lang-wins ties.
+            r"WITH c AS ("
+            r"  SELECT doc_id, substr(text, 1, 500) AS s500,"
+            r"  regexp_extract_all(lower(substr(text, 1, 4000)),"
+            r"    '[\p{L}\p{N}_]+') AS words FROM documents), "
+            r"cnt AS ("
+            r"  SELECT doc_id, words,"
+            r"  length(regexp_replace(s500,"
+            r"    '[^\x{4e00}-\x{9fff}\x{3040}-\x{30ff}\x{ac00}-\x{d7af}]',"
+            r"    '', 'g')) AS cjk,"
+            r"  length(regexp_replace(s500, '[^\x{3040}-\x{30ff}]', '', 'g'))"
+            r"    AS kana,"
+            r"  length(regexp_replace(s500, '[^\x{ac00}-\x{d7af}]', '', 'g'))"
+            r"    AS hangul,"
+            r"  length(s500) AS n500,"
+            r"  len(list_filter(words, w -> w IN " + _STOP_EN + r")) AS he,"
+            r"  len(list_filter(words, w -> w IN ('el','la','de','que','y',"
+            r"'a','en','un','ser','se','no','haber','por','con','su','para',"
+            r"'como','estar','tener','le','los','las','una','es'))) AS hs,"
+            r"  len(list_filter(words, w -> w IN ('der','die','und','in',"
+            r"'den','von','zu','das','mit','sich','des','auf','für','ist',"
+            r"'im','dem','nicht','ein','eine','als'))) AS hd,"
+            r"  len(list_filter(words, w -> w IN ('le','la','de','et','les',"
+            r"'des','en','un','du','une','que','est','dans','qui','pour',"
+            r"'pas','sur','au','il','ne'))) AS hf"
+            r"  FROM c) "
+            r"SELECT doc_id, CASE"
+            r"  WHEN n500 > 0 AND cjk > n500 * 0.2 THEN"
+            r"    CASE WHEN kana > cjk * 0.2 THEN 'ja'"
+            r"         WHEN hangul > cjk * 0.5 THEN 'ko' ELSE 'zh' END"
+            r"  WHEN len(words) = 0 THEN 'und'"
+            r"  WHEN he > 0 AND he >= hs AND he >= hd AND he >= hf THEN 'en'"
+            r"  WHEN hs > 0 AND hs > he AND hs >= hd AND hs >= hf THEN 'es'"
+            r"  WHEN hd > 0 AND hd > he AND hd > hs AND hd >= hf THEN 'de'"
+            r"  WHEN hf > 0 AND hf > he AND hf > hs AND hf > hd THEN 'fr'"
+            r"  ELSE 'und' END AS lang_pred FROM cnt"
+        ),
+        "dim_join": (
+            "SELECT c_custkey, n_name FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey"
+        ),
+        "top_orders_per_cust": (
+            "SELECT o_custkey, o_orderkey, o_totalprice FROM orders "
+            "QUALIFY row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) <= 3"
         ),
         "ann_topk": (
             "SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id "

@@ -86,3 +86,49 @@ def hash_aggregate(
     return partials.groupby("part", num_partitions=num_partitions).map_groups(
         final, batch_format="pandas"
     )
+
+
+def hash_topn(
+    ds: rd.Dataset,
+    keys: list[str],
+    order_col: str,
+    n: int,
+    tie_cols: list[str] | None = None,
+    descending: bool = True,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Grouped top-N (the windowed-rank operator): per key, the N rows
+    with the largest (or smallest) ``order_col``, ties broken by
+    ``tie_cols`` ascending — SQL ``QUALIFY row_number() OVER (PARTITION
+    BY keys ORDER BY order_col DESC, tie_cols) <= n``.
+
+    Same two-phase shape as :func:`hash_aggregate`: the per-batch
+    partial keeps at most N rows per key (combiner — shuffle volume is
+    bounded by N·distinct-keys-per-batch, never the raw row count), the
+    single-int-key shuffle co-locates each key's partials, and one
+    vectorized sort+head per partition finishes. No per-key Python call.
+    """
+    keys = list(keys)
+    tie_cols = list(tie_cols or [])
+    sort_cols = keys + [order_col] + tie_cols
+    ascending = [True] * len(keys) + [not descending] + [True] * len(tie_cols)
+
+    def topn(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+        return s.groupby(keys, sort=False).head(n)
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        out = topn(batch) if len(batch) else batch
+        out = out.copy()
+        key_hash = pd.util.hash_pandas_object(out[keys], index=False)
+        out["part"] = (key_hash % np.uint64(num_partitions)).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(group: pd.DataFrame) -> pa.Table:
+        out = topn(group.drop(columns=["part"]))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("part", num_partitions=num_partitions).map_groups(
+        final, batch_format="pandas"
+    )
