@@ -386,9 +386,11 @@ def q_entity_report(sf_dir: str):
 
     d = pages_from_documents(sf_dir)
     art = resolve(read_pages(d + "/pages"))
-    rep = entity_report(art.clusters, art.profiles, art.edges).to_pandas()
+    rep = entity_report(art.clusters, art.profiles, art.edges,
+                        scored=art.scored).to_pandas()
     rep["records"] = rep["records"].astype(str)     # nested → stable string
     rep["features"] = rep["features"].astype(str)
+    rep["related"] = rep["related"].astype(str)
     return rep.sort_values("entity_id").reset_index(drop=True)
 
 

@@ -36,7 +36,9 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     return pa.table(
         {
             "url": batch.column("url"),
-            "warc_ts": batch.column("warc_ts"),
+            # normalize to µs so sources with ns timestamps (e.g.
+            # from_pandas fixtures) union cleanly with parquet blocks
+            "warc_ts": batch.column("warc_ts").cast(pa.timestamp("us")),
             "lang": batch.column("lang"),
             "extracted_text": pa.array(texts, pa.string()),
             "title": pa.array(titles, pa.string()),

@@ -219,10 +219,15 @@ def score_pairs(pairs, profiles, match_cfg: MatchConfig, cfg: PipelineConfig,
 
 
 def matched_edges(scored):
-    """Filter to matches and project the edge list (+score for reports)."""
+    """Filter to matches and project the edge list. Evidence columns
+    (est_jaccard, simhash_hd, title_jw) ride along so the report can
+    assemble per-record MATCH_KEYs from the signals that actually
+    matched (reference flow-output.jsonl:1 varies MATCH_KEY per
+    record); CC selects just (uid_a, uid_b) downstream."""
     return scored.map_batches(
         lambda t: t.filter(t.column("is_match")).select(
-            ["uid_a", "uid_b", "score"]
+            ["uid_a", "uid_b", "score", "est_jaccard", "simhash_hd",
+             "title_jw"]
         ),
         batch_format="pyarrow",
     )
