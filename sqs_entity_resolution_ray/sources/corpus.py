@@ -32,7 +32,7 @@ import pyarrow.parquet as pq
 from ..functions.hashing import stable_rng
 from ..functions.html_extract import extract_text
 
-CORPUS_VERSION = 6
+CORPUS_VERSION = 7
 
 # Fixed 512-word vocabulary (deterministic, generated from a seeded walk
 # over consonant-vowel syllables — no external wordlist).
@@ -345,40 +345,83 @@ def pages_from_documents(
     base_ids = docs.column("doc_id").to_pylist()
     base_texts = docs.column("text").to_pylist()
     base_langs = docs.column("lang").to_pylist()
-    rng = stable_rng(f"docpages-{variants_per_doc}-{repeat_docs}")
 
     # repeat_docs amplifies the corpus for throughput/scaling runs; each
     # repeat is heavily re-tokenized (35% token substitution) so repeats
-    # do NOT near-dup into each other — cluster sizes stay realistic
-    doc_ids, texts, langs = [], [], []
+    # do NOT near-dup into each other — cluster sizes stay realistic.
+    # All randomness is seeded PER (doc, repeat) so generation is
+    # order-independent and chunks can run as parallel Ray tasks.
+    doc_rows = []  # (doc_id, repeat, text, lang)
     max_id = (max(base_ids) + 1) if base_ids else 0
-    rep_rng = stable_rng(f"docpages-repeat-{repeat_docs}")
     for r in range(repeat_docs):
         for d, text, lang in zip(base_ids, base_texts, base_langs):
-            doc_ids.append(d + r * max_id)
-            if r == 0:
-                texts.append(text)
-            else:
-                toks = (text or "").split()
-                texts.append(" ".join(_perturb_tokens(toks, 0.35, rep_rng)))
-            langs.append(lang)
+            doc_rows.append((d + r * max_id, r, text, lang))
 
-    # optional per-doc padding to realistic web-page weight (~8 KB html
-    # at 1600 tokens); the pad is unique per doc (vocab draws seeded by
-    # doc id) so it adds compute without adding cross-doc similarity,
-    # and variants share it (they perturb the padded text)
-    pad_rng = stable_rng(f"docpages-pad-{pad_tokens}")
+    tmp = out + ".tmp"
+    os.makedirs(os.path.join(tmp, "pages"), exist_ok=True)
+    # chunk size balances task parallelism (pages corpus reads want many
+    # fragments anyway) against per-task overhead; content is identical
+    # regardless of chunking thanks to per-doc seeding
+    chunk_size = 512
+    chunks = [doc_rows[i:i + chunk_size] for i in range(0, len(doc_rows), chunk_size)]
+
+    import ray
+
+    if ray.is_initialized() and len(chunks) > 1:
+        gen = ray.remote(num_cpus=1)(_gen_pages_chunk)
+        truth_parts = ray.get([
+            gen.remote(ci, chunk, variants_per_doc, pad_tokens, tmp)
+            for ci, chunk in enumerate(chunks)
+        ])
+    else:
+        truth_parts = [
+            _gen_pages_chunk(ci, chunk, variants_per_doc, pad_tokens, tmp)
+            for ci, chunk in enumerate(chunks)
+        ]
+
+    urls = [u for part in truth_parts for u in part[0]]
+    entity_of = [e for part in truth_parts for e in part[1]]
+    truth = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "entity_id": pa.array(entity_of, pa.string()),
+        }
+    )
+    pq.write_table(truth, os.path.join(tmp, "expected_clusters.parquet"))
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+        f.write(tag)
+    if os.path.exists(out):
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        os.replace(tmp, out)
+    return out
+
+
+def _gen_pages_chunk(
+    chunk_idx: int,
+    chunk: list[tuple],
+    variants_per_doc: int,
+    pad_tokens: int,
+    tmp_dir: str,
+) -> tuple[list[str], list[str]]:
+    """Render one chunk of (doc_id, repeat, text, lang) rows to a parquet
+    shard. Deterministic per doc (seeded by final doc id), so the corpus
+    content does not depend on chunking or execution order. Returns the
+    (urls, entity_ids) truth columns for the shard."""
     vocab_arr = np.array(_VOCAB)
-    pads: list[list[str]] = []
-    if pad_tokens > 0:
-        idx = pad_rng.integers(0, len(vocab_arr), size=(len(doc_ids), pad_tokens))
-        pads = [list(vocab_arr[row]) for row in idx]
-
-    urls, tss, htmls, crawler_texts, out_langs, entity_of = [], [], [], [], [], []
-    for di, (d, text, lang) in enumerate(zip(doc_ids, texts, langs)):
+    urls, tss, htmls, out_langs, entity_of = [], [], [], [], []
+    for d, r, text, lang in chunk:
+        rng = stable_rng(f"docpages-{variants_per_doc}-{pad_tokens}-{d}")
         toks = (text or "").split()
+        if r > 0:
+            toks = _perturb_tokens(toks, 0.35, rng)
         if pad_tokens > 0:
-            toks = toks + pads[di]
+            # unique per-doc padding to realistic web-page weight (~8 KB
+            # html at 1600 tokens): adds compute without adding cross-doc
+            # similarity; variants share it (they perturb the padded text)
+            idx = rng.integers(0, len(vocab_arr), size=pad_tokens)
+            toks = toks + list(vocab_arr[idx])
         n_var = 1 + int(d) % variants_per_doc
         title = " ".join(toks[:5]) if toks else f"document {d}"
         for v in range(n_var):
@@ -393,7 +436,6 @@ def pages_from_documents(
             urls.append(f"https://docs.example.com/{d}/v{v}")
             tss.append(int((_EPOCH + _dt.timedelta(minutes=int(d) % 100000)).timestamp() * 1_000_000))
             htmls.append(html)
-            crawler_texts.append("")
             out_langs.append(lang or "en")
             entity_of.append(f"doc-{d}")
 
@@ -402,36 +444,14 @@ def pages_from_documents(
             "url": pa.array(urls, pa.string()),
             "warc_ts": pa.array(tss, pa.timestamp("us")),
             "html": pa.array(htmls, pa.binary()),
-            "text": pa.array(crawler_texts, pa.string()),
+            "text": pa.array([""] * len(urls), pa.string()),
             "lang": pa.array(out_langs, pa.string()),
         }
     )
-    truth = pa.table(
-        {
-            "url": pa.array(urls, pa.string()),
-            "entity_id": pa.array(entity_of, pa.string()),
-        }
+    pq.write_table(
+        pages, os.path.join(tmp_dir, "pages", f"part-{chunk_idx:05d}.parquet")
     )
-    tmp = out + ".tmp"
-    os.makedirs(os.path.join(tmp, "pages"), exist_ok=True)
-    # shard the pages table: parallel reads need multiple fragments (a
-    # single one-row-group file forces a single read task)
-    shard_rows = 4096
-    n_rows = pages.num_rows
-    for s, start in enumerate(range(0, max(n_rows, 1), shard_rows)):
-        pq.write_table(
-            pages.slice(start, shard_rows),
-            os.path.join(tmp, "pages", f"part-{s:05d}.parquet"),
-        )
-    pq.write_table(truth, os.path.join(tmp, "expected_clusters.parquet"))
-    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
-        f.write(tag)
-    if os.path.exists(out):
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    else:
-        os.replace(tmp, out)
-    return out
+    return urls, entity_of
 
 
 def corpus_dir(

@@ -176,3 +176,84 @@ def test_ivf_query_entry(ray_session):
     out = em.queries()["ann_topk_ivf"]("/root/testdata/sf0.001")
     assert len(out) > 0
     assert {"query_id", "vec_id", "sim", "rank"} <= set(out.columns)
+
+
+def test_multimodal_real_branch(ray_session):
+    """Injected decoders flip the probe to the real branch; output differs
+    from the fake and reflects the actual decoded content."""
+    # decoders are defined INSIDE the test: module-level functions in a
+    # test file pickle by reference to a module Ray workers cannot import
+    def _raw_rgb_decoder(payload: bytes) -> np.ndarray:
+        """Minimal test decoder: payload bytes -> deterministic 8x8 RGB array."""
+        buf = np.frombuffer((payload or b"\x00") * 8, dtype=np.uint8)[: 8 * 8 * 3]
+        buf = np.pad(buf, (0, 8 * 8 * 3 - buf.size))
+        return buf.reshape(8, 8, 3)
+
+
+    def _raw_pcm_decoder(payload: bytes):
+        """Minimal test decoder: payload bytes -> (float samples, rate)."""
+        samples = np.frombuffer(payload or b"\x00\x00", dtype=np.uint8).astype(
+            np.float32
+        ) / 255.0
+        return samples, 16000
+
+
+    def _frame_split_decoder(payload: bytes):
+        """Minimal test decoder: payload -> list of 16-byte frame chunks."""
+        p = payload or b"\x00" * 16
+        return [p[i : i + 16] for i in range(0, len(p), 16)]
+
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.stages.multimodal import (
+        audio_features,
+        decode_images,
+        sample_frames,
+        synthetic_media,
+    )
+
+    media = rd.from_arrow(synthetic_media(12))
+
+    fake = decode_images(media, batch_size=8).to_pandas().sort_values("media_id")
+    real = (
+        decode_images(media, batch_size=8, decoder=_raw_rgb_decoder)
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    assert set(real["backend"]) == {"custom"}
+    assert set(fake["backend"]) == {"fake"}
+    # real branch reports the decoded source dims, not the resize target
+    assert set(real["width"]) == {8} and set(real["height"]) == {8}
+    # features actually derive from pixels: in [0,1], differ from the fake
+    rf = np.array(real["features"].tolist())
+    assert rf.min() >= 0.0 and rf.max() <= 1.0
+    ff = np.array(fake["features"].tolist())
+    assert not np.allclose(rf, ff)
+    # deterministic under re-run
+    real2 = (
+        decode_images(media, batch_size=8, decoder=_raw_rgb_decoder)
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    assert np.allclose(rf, np.array(real2["features"].tolist()))
+
+    au = (
+        audio_features(media, batch_size=8, decoder=_raw_pcm_decoder)
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    assert set(au["backend"]) == {"custom"}
+    assert set(au["sample_rate"]) == {16000}
+    af = np.array(au["features"].tolist())
+    assert af.shape == (12, 32) and af.min() >= 0.0  # RMS energies
+
+    fr = sample_frames(media, batch_size=8, n_frames=4,
+                       decoder=_frame_split_decoder).to_pandas()
+    # uniform sampling caps at n_frames per media item
+    assert fr.groupby("media_id")["frame_idx"].count().le(4).all()
+    # frames are real slices of the payload, not hashes
+    one = fr[fr.media_id == "m00000"].sort_values("frame_idx")
+    payload = synthetic_media(12).to_pandas().set_index("media_id").loc[
+        "m00000", "payload"
+    ]
+    assert bytes(one.iloc[0]["frame_payload"]) == payload[:16]
