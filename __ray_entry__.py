@@ -364,6 +364,132 @@ def q_top_orders_per_cust(sf_dir: str):
                      tie_cols=["o_orderkey"])
 
 
+def q_order_revenue(sf_dir: str):
+    """TPC-H-Q3-style 3-table hash-join chain (customer ⋈ orders ⋈
+    lineitem) with filters pushed to the reads. Revenue is computed in
+    integer cent·bp units (round(price*100) * (100-round(disc*100))) so
+    the distributed sum is EXACTLY comparable to the oracle regardless
+    of float addition order."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.stages.agg import hash_aggregate
+    from sqs_entity_resolution_ray.stages.joins import hash_join
+
+    cutoff = np.datetime64("1998-07-01", "us")
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t.column("c_mktsegment"), "BUILDING"))
+        .select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda t: t.filter(pc.less(t.column("o_orderdate"), pa.scalar(cutoff))),
+        batch_format="pyarrow",
+    )
+
+    def line_rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_shipdate"), pa.scalar(cutoff)))
+        ep = pc.round(pc.multiply(t.column("l_extendedprice"), 100.0))
+        dc = pc.round(pc.multiply(t.column("l_discount"), 100.0))
+        rev = pc.multiply(
+            pc.cast(ep, pa.int64()),
+            pc.subtract(pa.scalar(100, pa.int64()), pc.cast(dc, pa.int64())),
+        )
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "rev_u": rev}
+        )
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(line_rev, batch_format="pyarrow")
+
+    co = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                   num_rows_hint=orders.count())
+    col = hash_join(lineitem, co, on="l_orderkey", right_on="o_orderkey",
+                    num_rows_hint=lineitem.count())
+    agg = hash_aggregate(col, ["l_orderkey", "o_orderdate"],
+                         {"revenue_u": ("rev_u", "sum")})
+    return agg.sort(["revenue_u", "l_orderkey"],
+                    descending=[True, False]).limit(10)
+
+
+def q_last_click(sf_dir: str):
+    """As-of join: each purchase event attributed to the same user's
+    most recent click at-or-before the purchase time."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from sqs_entity_resolution_ray.stages.asof import asof_join
+
+    ev = _events(sf_dir,
+                 columns=["event_id", "user_id", "ts", "event_type", "value"])
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "purchase"))
+        .select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow",
+    )
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "click"))
+        .select(["user_id", "ts", "value"])
+        .rename_columns(["user_id", "click_ts", "click_value"]),
+        batch_format="pyarrow",
+    )
+    return asof_join(
+        purchases, clicks, by="user_id", left_ts="ts", right_ts="click_ts",
+        left_cols=["event_id"], right_cols=["click_value"], how="inner",
+    )
+
+
+def q_quantity_bands(sf_dir: str):
+    """Range/interval join: lineitem quantities classified against a
+    broadcast interval table, then aggregated per band."""
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.stages.agg import hash_aggregate
+    from sqs_entity_resolution_ray.stages.joins import interval_lookup
+
+    bands = [(1.0, 11.0, "low"), (11.0, 26.0, "mid"),
+             (26.0, 41.0, "high"), (41.0, 51.0, "bulk")]
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
+    banded = interval_lookup(li, "l_quantity", bands, "band")
+    return hash_aggregate(
+        banded, ["band"],
+        {"n_items": ("l_quantity", "count"), "sum_qty": ("l_quantity", "sum")},
+        num_partitions=2,
+    )
+
+
+def q_user_rolling(sf_dir: str):
+    """Per-key rolling mean over the last 4 events (windowed aggregate)."""
+    from sqs_entity_resolution_ray.stages.windows import rolling_window
+
+    return rolling_window(
+        _events(sf_dir, columns=["event_id", "user_id", "ts", "value"]),
+        key_col="user_id", ts_col="ts", value_col="value",
+        window_rows=4, id_cols=["event_id"], round_to=6,
+    )
+
+
+def q_price_quantiles(sf_dir: str):
+    """Exact grouped quantiles (quantile_cont semantics)."""
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.stages.agg import group_quantiles
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice"])
+    return group_quantiles(li, ["l_returnflag"], "l_extendedprice",
+                           {"p50": 0.5, "p90": 0.9})
+
+
 def q_records_er(sf_dir: str):
     """Record-model ER on the deterministic people fixture (rows-only)."""
     import ray.data as rd
@@ -427,6 +553,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts": q_top_parts,
         "dim_join": q_dim_join,
         "top_orders_per_cust": q_top_orders_per_cust,
+        "order_revenue": q_order_revenue,
+        "last_click": q_last_click,
+        "quantity_bands": q_quantity_bands,
+        "user_rolling": q_user_rolling,
+        "price_quantiles": q_price_quantiles,
     }
 
 
@@ -588,6 +719,47 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_custkey, o_orderkey, o_totalprice FROM orders "
             "QUALIFY row_number() OVER (PARTITION BY o_custkey "
             "ORDER BY o_totalprice DESC, o_orderkey) <= 3"
+        ),
+        "order_revenue": (
+            "SELECT l.l_orderkey, o.o_orderdate, "
+            "CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "AS revenue_u "
+            "FROM customer c "
+            "JOIN orders o ON c.c_custkey = o.o_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "WHERE c.c_mktsegment = 'BUILDING' "
+            "AND o.o_orderdate < TIMESTAMP '1998-07-01' "
+            "AND l.l_shipdate > TIMESTAMP '1998-07-01' "
+            "GROUP BY 1, 2 ORDER BY revenue_u DESC, l.l_orderkey LIMIT 10"
+        ),
+        "last_click": (
+            "SELECT p.user_id, p.event_id, p.ts, "
+            "c.ts AS click_ts, c.value AS click_value "
+            "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+            "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+            "ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        "quantity_bands": (
+            "SELECT b.band, CAST(count(*) AS BIGINT) AS n_items, "
+            "sum(l.l_quantity) AS sum_qty "
+            "FROM lineitem l JOIN (VALUES (1.0, 11.0, 'low'), "
+            "(11.0, 26.0, 'mid'), (26.0, 41.0, 'high'), "
+            "(41.0, 51.0, 'bulk')) b(lo, hi, band) "
+            "ON l.l_quantity >= b.lo AND l.l_quantity < b.hi "
+            "GROUP BY b.band"
+        ),
+        "user_rolling": (
+            "SELECT event_id, user_id, ts, value, "
+            "ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS roll_avg "
+            "FROM events"
+        ),
+        "price_quantiles": (
+            "SELECT l_returnflag, "
+            "ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50, "
+            "ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90 "
+            "FROM lineitem GROUP BY l_returnflag"
         ),
         "ann_topk": (
             "SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id "

@@ -132,3 +132,39 @@ def hash_topn(
     return partials.groupby("part", num_partitions=num_partitions).map_groups(
         final, batch_format="pandas"
     )
+
+
+def group_quantiles(
+    ds: rd.Dataset,
+    keys: list[str],
+    value_col: str,
+    quantiles: dict[str, float],
+    round_to: int | None = 6,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """EXACT per-group quantiles (linear interpolation — SQL
+    ``quantile_cont``). ``quantiles``: out_col → q in [0, 1].
+
+    Only (keys, value) cross the shuffle (narrow rows), then one
+    vectorized numpy quantile per group. Exact quantiles need each
+    group's full value set in one place, so this operator is for
+    LOW-CARDINALITY keys (each group must fit a partition — the same
+    contract DuckDB's quantile_cont has per group). For high-cardinality
+    keys or groups beyond memory, the scale path is a mergeable sketch
+    (t-digest) traded for exactness; not needed for the reference
+    surface."""
+    keys = list(keys)
+
+    def qs(group: pd.DataFrame) -> pd.DataFrame:
+        vals = group[value_col].to_numpy(dtype=np.float64)
+        row = {k: group[k].iloc[0] for k in keys}
+        for out_col, q in quantiles.items():
+            v = float(np.quantile(vals, q)) if len(vals) else float("nan")
+            row[out_col] = round(v, round_to) if round_to is not None else v
+        return pd.DataFrame([row])
+
+    narrow = ds.map_batches(
+        lambda b: b[keys + [value_col]], batch_format="pandas"
+    )
+    kwargs = {"num_partitions": num_partitions} if num_partitions else {}
+    return narrow.groupby(keys, **kwargs).map_groups(qs, batch_format="pandas")

@@ -94,3 +94,55 @@ def session_windows(
     return assigned.groupby("part", num_partitions=num_partitions).map_groups(
         sessions_in_partition, batch_format="pandas"
     )
+
+
+def rolling_window(
+    events: rd.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_rows: int = 4,
+    out_col: str = "roll_avg",
+    id_cols: list[str] | None = None,
+    round_to: int | None = 6,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Per-key rolling mean over the last ``window_rows`` rows ordered by
+    ``ts_col`` — SQL ``AVG(value) OVER (PARTITION BY key ORDER BY ts
+    ROWS BETWEEN window_rows-1 PRECEDING AND CURRENT ROW)`` with a
+    shrinking head window (min_periods=1).
+
+    Partition-level like :func:`session_windows`: keys hash-bucket into
+    ``num_partitions``; one ``map_groups`` per bucket runs a single
+    vectorized ``groupby(key).rolling`` over the whole partition — no
+    per-key Python call. ``round_to`` rounds the mean (sliding-sum
+    arithmetic differs from a per-window fresh sum in the last float
+    bits; rounding makes results comparable across engines).
+    """
+    import numpy as np
+
+    id_cols = list(id_cols or [])
+    keep = [key_col, ts_col, value_col] + id_cols
+
+    def assign_part(batch: pd.DataFrame) -> pa.Table:
+        df = batch[keep].copy()
+        key_hash = pd.util.hash_pandas_object(df[key_col], index=False)
+        df["part"] = (key_hash % np.uint64(num_partitions)).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def roll_in_partition(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col] + id_cols, kind="mergesort")
+        r = (
+            g.groupby(key_col, sort=False)[value_col]
+            .rolling(window_rows, min_periods=1)
+            .mean()
+            .reset_index(drop=True)
+        )
+        out = g.reset_index(drop=True)[keep]
+        out[out_col] = r.round(round_to) if round_to is not None else r
+        return out
+
+    assigned = events.map_batches(assign_part, batch_format="pandas")
+    return assigned.groupby("part", num_partitions=num_partitions).map_groups(
+        roll_in_partition, batch_format="pandas"
+    )
