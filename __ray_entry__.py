@@ -490,6 +490,21 @@ def q_price_quantiles(sf_dir: str):
                            {"p50": 0.5, "p90": 0.9})
 
 
+def q_media_features(sf_dir: str):
+    """Multimodal actor-pool plumbing (rows-only: codecs are stubbed in
+    this environment — deterministic fake keyed on payload bytes; the
+    real branch is decoder-injectable, tests/test_text_analysis.py)."""
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.stages.multimodal import (
+        decode_images, synthetic_media)
+
+    media = rd.from_arrow(synthetic_media(n=96, seed=13))
+    out = decode_images(media, batch_size=32).to_pandas()
+    out["features"] = out["features"].astype(str)
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def q_records_er(sf_dir: str):
     """Record-model ER on the deterministic people fixture (rows-only)."""
     import ray.data as rd
@@ -558,6 +573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_bands": q_quantity_bands,
         "user_rolling": q_user_rolling,
         "price_quantiles": q_price_quantiles,
+        "media_features": q_media_features,
     }
 
 

@@ -230,6 +230,13 @@ def run_scaling() -> dict:
         "pages_per_sec_lo": r_lo["pages_per_sec"],
         "pages_per_sec_hi": r_hi["pages_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        # host steal during each leg: a steal-skewed run undercounts the
+        # high-CPU leg far more (the host grants fewer effective cores),
+        # so read the efficiency together with these
+        "runs_lo": r_lo.get("headline_runs"),
+        "runs_hi": r_hi.get("headline_runs"),
+        "host_steal_pct_lo": r_lo.get("host_steal_pct"),
+        "host_steal_pct_hi": r_hi.get("host_steal_pct"),
     }
 
 
