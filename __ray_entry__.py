@@ -535,6 +535,95 @@ def q_entity_report(sf_dir: str):
     return rep.sort_values("entity_id").reset_index(drop=True)
 
 
+def q_sample_split(sf_dir: str):
+    """Deterministic train/val/test assignment (stages/curation.split_assign)."""
+    from sqs_entity_resolution_ray.stages.curation import split_assign
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return split_assign(ds, "doc_id")
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-source systematic sampling (stages/curation.stratified_sample)."""
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.stages.curation import stratified_sample
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    rates = {"src0": 100, "src1": 75, "src2": 50, "src3": 25}
+    return stratified_sample(ds, "source", "doc_id", rates, default_rate=10)
+
+
+def q_redact(sf_dir: str):
+    """Vectorized RE2 redaction (stages/curation.regex_redact); PII-scrub
+    shape demonstrated on patterns present in the synthetic corpus."""
+    from sqs_entity_resolution_ray.stages.curation import regex_redact
+
+    return regex_redact(_docs(sf_dir), r"\b(spark|data|merge)\b", "[X]")
+
+
+def q_token_topk(sf_dir: str):
+    """Global top-20 token frequencies (stages/curation.token_topk)."""
+    from sqs_entity_resolution_ray.stages.curation import token_topk
+
+    return token_topk(_docs(sf_dir), n=20)
+
+
+def q_above_median_docs(sf_dir: str):
+    """Exact global-quantile gate (stages/curation.global_quantile_filter)."""
+    from sqs_entity_resolution_ray.stages.curation import global_quantile_filter
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return global_quantile_filter(ds, "n_chars", q=0.5).select_columns(
+        ["doc_id"]
+    )
+
+
+def q_props_sum(sf_dir: str):
+    """JSON field extraction + grouped aggregation
+    (stages/curation.parse_json_field)."""
+    from ray.data.aggregate import Count, Sum
+
+    from sqs_entity_resolution_ray.stages.curation import parse_json_field
+
+    ev = _events(sf_dir, columns=["event_type", "props"])
+    parsed = parse_json_field(ev, "props", "k").select_columns(
+        ["event_type", "k"]
+    )
+    return parsed.groupby("event_type").aggregate(
+        Sum("k", alias_name="sum_k"), Count(alias_name="n_events")
+    )
+
+
+def q_contaminated(sf_dir: str):
+    """Benchmark decontamination (stages/curation.decontaminate): corpus
+    docs sharing any exact 8-token shingle with the doc_id%50==0
+    'benchmark' slice."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sqs_entity_resolution_ray.stages.curation import decontaminate
+
+    def _slice(is_bench):
+        def f(t: "pa.Table") -> "pa.Table":
+            m = t.column("doc_id").to_numpy(zero_copy_only=False) % 50 == 0
+            return t.filter(pa.array(m if is_bench else ~m))
+        return f
+
+    docs = _docs(sf_dir)
+    bench = docs.map_batches(_slice(True), batch_format="pyarrow")
+    corpus = docs.map_batches(_slice(False), batch_format="pyarrow")
+    return decontaminate(corpus, bench, n_tokens=8)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return q_resolve_pages(SF_DEFAULT)
@@ -574,6 +663,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_rolling": q_user_rolling,
         "price_quantiles": q_price_quantiles,
         "media_features": q_media_features,
+        "sample_split": q_sample_split,
+        "stratified_sample": q_stratified_sample,
+        "redact": q_redact,
+        "token_topk": q_token_topk,
+        "above_median_docs": q_above_median_docs,
+        "props_sum": q_props_sum,
+        "contaminated": q_contaminated,
     }
 
 
@@ -841,5 +937,52 @@ def oracle_sql() -> dict[str, str]:
         "top_parts": (
             "SELECT l_partkey, sum(l_quantity) AS total_qty FROM lineitem "
             "GROUP BY l_partkey ORDER BY total_qty DESC, l_partkey LIMIT 10"
+        ),
+        "sample_split": (
+            "SELECT doc_id, CASE WHEN doc_id % 10 < 8 THEN 'train' "
+            "WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split "
+            "FROM documents"
+        ),
+        "stratified_sample": (
+            "SELECT doc_id, source FROM documents WHERE doc_id % 100 < "
+            "CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 75 "
+            "WHEN 'src2' THEN 50 WHEN 'src3' THEN 25 ELSE 10 END"
+        ),
+        "redact": (
+            # same RE2 engine as Arrow's replace_substring_regex →
+            # byte-identical replacement semantics.
+            r"SELECT doc_id, regexp_replace(text, "
+            r"'\b(spark|data|merge)\b', '[X]', 'g') AS text_red "
+            r"FROM documents"
+        ),
+        "token_topk": (
+            "SELECT token, CAST(sum(1) AS BIGINT) AS n FROM ("
+            "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) "
+            "AS token FROM documents) WHERE token <> '' "
+            "GROUP BY token ORDER BY n DESC, token LIMIT 20"
+        ),
+        "above_median_docs": (
+            "SELECT doc_id FROM documents WHERE n_chars >= "
+            "(SELECT quantile_cont(n_chars, 0.5) FROM documents)"
+        ),
+        "props_sum": (
+            "SELECT event_type, "
+            "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+            "AS BIGINT) AS sum_k, count(*) AS n_events "
+            "FROM events GROUP BY event_type"
+        ),
+        "contaminated": (
+            # exact-string 8-token shingle overlap — the SQL mirror of
+            # stages/curation.decontaminate (raw \s+ tokens, docs with <8
+            # tokens emit nothing).
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS t "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS s "
+            "FROM (SELECT doc_id, t, unnest(generate_series(1, "
+            "greatest(len(t)-7, 0))) AS i FROM toks)), "
+            "bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0) "
+            "SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s) "
+            "WHERE sh.doc_id % 50 <> 0 ORDER BY doc_id"
         ),
     }
