@@ -134,7 +134,7 @@ def run_bench() -> dict:
     for name in ("minhash_dedup", "exact_dedup", "simhash_dedup",
                  "ann_topk", "token_count", "language_id", "quality",
                  "lineitem_agg", "window_hourly", "event_tallies",
-                 "top_parts"):
+                 "top_parts", "token_topk", "contaminated"):
         t0 = time.perf_counter()
         res = queries[name](SF_DIR)
         try:  # consume lazily-returned Datasets
