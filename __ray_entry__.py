@@ -411,10 +411,17 @@ def q_order_revenue(sf_dir: str):
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
     ).map_batches(line_rev, batch_format="pyarrow")
 
+    # size the join from parquet METADATA (free) — an eager .count()
+    # here would execute each read+filter pipeline once just to pick a
+    # partition count, doubling the timed work (ADVICE r2)
+    import pyarrow.parquet as pq
+
+    n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    n_lines = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
     co = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
-                   num_rows_hint=orders.count())
+                   num_rows_hint=n_orders)
     col = hash_join(lineitem, co, on="l_orderkey", right_on="o_orderkey",
-                    num_rows_hint=lineitem.count())
+                    num_rows_hint=n_lines)
     agg = hash_aggregate(col, ["l_orderkey", "o_orderdate"],
                          {"revenue_u": ("rev_u", "sum")})
     return agg.sort(["revenue_u", "l_orderkey"],
@@ -530,6 +537,7 @@ def q_entity_report(sf_dir: str):
     rep = entity_report(art.clusters, art.profiles, art.edges,
                         scored=art.scored).to_pandas()
     rep["records"] = rep["records"].astype(str)     # nested → stable string
+    rep["record_summary"] = rep["record_summary"].astype(str)
     rep["features"] = rep["features"].astype(str)
     rep["related"] = rep["related"].astype(str)
     return rep.sort_values("entity_id").reset_index(drop=True)

@@ -80,9 +80,37 @@ def _steal_jiffies() -> tuple[int, int]:
         return 0, 1
 
 
+def _probe_sec() -> float:
+    """Fixed-work single-thread calibration probe (~0.5-1 s nominal).
+
+    Times a pinned numpy kernel (sort + LCG mix over 2M uint64, 6
+    rounds; single-threaded — no BLAS). Run before/after each headline
+    measurement so "slow host" vs "slow code" is decidable from the
+    bench JSON alone: a slow headline with a slow probe is host
+    contention; a slow headline with a nominal probe is a code
+    regression. Quiet-window nominal is recorded in BASELINE.md."""
+    import numpy as np
+
+    # warm once (allocator + page faults) so the first timed probe of a
+    # process isn't ~15x inflated vs steady state
+    if not getattr(_probe_sec, "_warm", False):
+        np.sort(np.arange(2_000_000, dtype=np.uint64))
+        _probe_sec._warm = True
+    a = (np.arange(2_000_000, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    t0 = time.perf_counter()
+    for _ in range(6):
+        b = np.sort(a)
+        a = (a * np.uint64(6364136223846793005)
+             + np.uint64(1442695040888963407)) ^ (b >> np.uint64(17))
+    assert int(a[0]) >= 0
+    return round(time.perf_counter() - t0, 3)
+
+
 def _run_headline(runs: int = 2):
     """Resolve the amplified corpus; returns (best sec, n_pages, all runs,
-    steal_pct). min-of-N damps host-steal variance (see _steal_jiffies)."""
+    steal_pct, probes). min-of-N damps host-steal variance (see
+    _steal_jiffies); probes = fixed-work calibration times bracketing
+    the measured window (see _probe_sec)."""
     from sqs_entity_resolution_ray.pipelines.resolve import read_pages, resolve
 
     corpus = _headline_corpus()
@@ -93,15 +121,17 @@ def _run_headline(runs: int = 2):
                 pass
     _warm_cluster()
     s0, t0j = _steal_jiffies()
+    probes = [_probe_sec()]
     secs = []
     for _ in range(max(1, runs)):
         t0 = time.perf_counter()
         art = resolve(read_pages(pages_dir))
         n_pages = art.clusters.count()
         secs.append(time.perf_counter() - t0)
+        probes.append(_probe_sec())
     s1, t1j = _steal_jiffies()
     steal_pct = round(100.0 * (s1 - s0) / max(t1j - t0j, 1), 1)
-    return min(secs), n_pages, [round(s, 3) for s in secs], steal_pct
+    return min(secs), n_pages, [round(s, 3) for s in secs], steal_pct, probes
 
 
 def run_bench() -> dict:
@@ -127,7 +157,7 @@ def run_bench() -> dict:
 
     # headline: flagship ER pipeline (pages -> clusters) on the
     # amplified corpus (generation is cached and untimed)
-    headline, n_pages, runs, steal_pct = _run_headline()
+    headline, n_pages, runs, steal_pct, probes = _run_headline()
     timings["resolve_pages"] = round(headline, 3)
 
     # secondary pipelines (each timed once)
@@ -157,6 +187,8 @@ def run_bench() -> dict:
         "pages_per_sec": round(n_pages / headline, 1),
         "headline_runs": runs,
         "host_steal_pct": steal_pct,
+        "probe_sec": probes,
+        "loadavg_1m": round(os.getloadavg()[0], 2),
     }
     ray.shutdown()
     return out
@@ -184,11 +216,13 @@ def run_headline_only() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     _tune_context(ctx)
-    sec, n_pages, runs, steal_pct = _run_headline()
+    sec, n_pages, runs, steal_pct, probes = _run_headline()
     ray.shutdown()
     return {"sec": round(sec, 3), "pages": n_pages, "num_cpus": NUM_CPUS,
             "pages_per_sec": round(n_pages / sec, 1),
-            "headline_runs": runs, "host_steal_pct": steal_pct}
+            "headline_runs": runs, "host_steal_pct": steal_pct,
+            "probe_sec": probes,
+            "loadavg_1m": round(os.getloadavg()[0], 2)}
 
 
 def run_scaling() -> dict:
@@ -237,6 +271,8 @@ def run_scaling() -> dict:
         "runs_hi": r_hi.get("headline_runs"),
         "host_steal_pct_lo": r_lo.get("host_steal_pct"),
         "host_steal_pct_hi": r_hi.get("host_steal_pct"),
+        "probe_sec_lo": r_lo.get("probe_sec"),
+        "probe_sec_hi": r_hi.get("probe_sec"),
     }
 
 

@@ -62,6 +62,13 @@ class IncrementalResult:
     affected: list[str]      # entity ids whose member set changed this run
 
 
+def _ray_sorted_ref(arr: np.ndarray):
+    """ray.put a sorted copy (broadcast once, searchsorted per batch)."""
+    import ray
+
+    return ray.put(np.sort(arr))
+
+
 def _state_paths(state_dir: str) -> dict[str, str]:
     return {k: os.path.join(state_dir, k)
             for k in ("profiles", "edges", "clusters")}
@@ -85,11 +92,14 @@ def _save_state(paths, profiles, edges, clusters, tag: str) -> None:
                      extra={"stage": "clusters"})
 
 
-def _diff_affected(prev_clusters: pd.DataFrame | None,
-                   new_clusters: pd.DataFrame) -> list[str]:
-    from ..state.tracker import affected_entities
+def _diff_affected(prev_clusters: rd.Dataset | None,
+                   new_clusters: rd.Dataset) -> list[str]:
+    """Distributed (url, entity_id) map diff — only the churn-sized
+    affected-id list reaches the driver (state/tracker.py
+    affected_entities_ds)."""
+    from ..state.tracker import affected_entities_ds
 
-    aff, _deleted = affected_entities(prev_clusters, new_clusters)
+    aff, _deleted = affected_entities_ds(prev_clusters, new_clusters)
     return aff
 
 
@@ -111,17 +121,15 @@ def resolve_incremental(new_pages, state_dir: str,
         clusters = art.clusters.materialize()
         n_pairs = art.scored.count()
         _save_state(paths, art.profiles, art.edges, clusters, run_tag)
-        cdf = clusters.select_columns(["url", "entity_id"]).to_pandas()
         return IncrementalResult(
             clusters=clusters, profiles=art.profiles, edges=art.edges,
             n_pairs_scored=n_pairs, full_run=True,
-            affected=_diff_affected(None, cdf),
+            affected=_diff_affected(None, clusters),
         )
 
     stored_profiles = _read_ckpt(paths["profiles"])
     stored_edges = _read_ckpt(paths["edges"])
-    prev_clusters = _read_ckpt(paths["clusters"]).select_columns(
-        ["url", "entity_id"]).to_pandas()
+    prev_clusters = _read_ckpt(paths["clusters"])
 
     pages_ds = read_pages(new_pages)
     if pages_ds.count() == 0:  # empty queue drain: nothing to fold in
@@ -138,19 +146,45 @@ def resolve_incremental(new_pages, state_dir: str,
     ddf = delta.to_pandas()
 
     # 2. upsert merge: winner per url = max (warc_ts, simhash), the same
-    # tie-break dedup_profiles_by_url applies in a full run
-    sp_small = stored_profiles.select_columns(
-        ["url", "warc_ts", "simhash"]).to_pandas()
-    stored_by_url = sp_small.set_index("url")
+    # tie-break dedup_profiles_by_url applies in a full run. The stored
+    # side scan broadcasts the (small) delta url set; the compare is one
+    # inner merge + vectorized lexicographic tuple comparison — no
+    # per-row .loc (stored urls are unique, so the merge is 1:≤1). An
+    # inner merge keeps the stored warc_ts/simhash dtypes exact (a left
+    # merge's NaN padding would promote simhash to float64 and corrupt
+    # 64-bit equality above 2^53).
+    delta_urls_ref = _ray_sorted_ref(ddf["url"].to_numpy(dtype=object))
+
+    def stored_for_delta(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        du = _ray.get(delta_urls_ref)
+        urls = np.asarray(t.column("url").to_pylist(), dtype=object)
+        idx = np.minimum(np.searchsorted(du, urls), len(du) - 1)
+        return t.select(["url", "warc_ts", "simhash"]).filter(
+            pa.array(du[idx] == urls))
+
+    sp_small = stored_profiles.map_batches(
+        stored_for_delta, batch_format="pyarrow").to_pandas()
+    if sp_small.empty:  # all-new urls: empty result drops its columns
+        sp_small = pd.DataFrame(
+            {"url": pd.Series(dtype=object),
+             "warc_ts": pd.Series(dtype=ddf["warc_ts"].dtype),
+             "simhash": pd.Series(dtype=np.uint64)})
+    hit = ddf[["url"]].reset_index(names="_pos").merge(
+        sp_small, on="url", how="inner")
+    rows = hit["_pos"].to_numpy()
+    d_ts = ddf["warc_ts"].to_numpy()[rows]
+    d_sh = ddf["simhash"].to_numpy().astype(np.uint64)[rows]
+    s_ts = hit["warc_ts"].to_numpy()
+    s_sh = hit["simhash"].to_numpy().astype(np.uint64)
     delta_wins = np.ones(len(ddf), dtype=bool)
     identical = np.zeros(len(ddf), dtype=bool)
-    in_store = ddf["url"].isin(stored_by_url.index).to_numpy()
-    for i in np.flatnonzero(in_store):
-        srow = stored_by_url.loc[ddf["url"].iloc[i]]
-        key_d = (ddf["warc_ts"].iloc[i], int(ddf["simhash"].iloc[i]))
-        key_s = (srow["warc_ts"], int(srow["simhash"]))
-        delta_wins[i] = key_d >= key_s
-        identical[i] = key_d == key_s
+    in_store = np.zeros(len(ddf), dtype=bool)
+    in_store[rows] = True
+    ts_eq = d_ts == s_ts
+    delta_wins[rows] = (d_ts > s_ts) | (ts_eq & (d_sh >= s_sh))
+    identical[rows] = ts_eq & (d_sh == s_sh)
     # touched = delta rows that change the store (new url, or a winning
     # non-identical replacement); identical redelivery is a no-op
     # (at-least-once idempotence)
@@ -312,8 +346,7 @@ def resolve_incremental(new_pages, state_dir: str,
     clusters = attach_url_strings(
         clusters_uid, merged_profiles, cfg).materialize()
 
-    cdf = clusters.select_columns(["url", "entity_id"]).to_pandas()
-    affected = _diff_affected(prev_clusters, cdf)
+    affected = _diff_affected(prev_clusters, clusters)
     _save_state(paths, merged_profiles, merged_edges, clusters, run_tag)
     return IncrementalResult(
         clusters=clusters, profiles=merged_profiles, edges=merged_edges,

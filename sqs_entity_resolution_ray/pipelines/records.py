@@ -45,6 +45,9 @@ _ADDR_SUFFIX = {
     "DR": "DRIVE", "BLVD": "BOULEVARD", "CT": "COURT", "PL": "PLACE",
     "TER": "TERRACE", "HWY": "HIGHWAY", "APT": "", "STE": "", "UNIT": "",
 }
+_ADDR_SUFFIX_RE = re.compile(
+    r"\b(?:" + "|".join(sorted(_ADDR_SUFFIX, key=len, reverse=True)) + r")\b"
+)
 
 
 def normalize_addr(line1: str, city: str = "", postal: str = "") -> str:
@@ -55,68 +58,134 @@ def normalize_addr(line1: str, city: str = "", postal: str = "") -> str:
     return (base + " " + extra).strip() if base else ""
 
 
-def _get(row: dict, key: str) -> str:
-    v = row.get(key)
-    return str(v).strip() if v is not None and not (isinstance(v, float) and np.isnan(v)) else ""
+def _scol(batch: pd.DataFrame, key: str) -> pd.Series:
+    """Column as stripped strings, missing/null → "" (the _get analogue,
+    whole-column)."""
+    if key not in batch.columns:
+        return pd.Series("", index=batch.index, dtype=object)
+    s = batch[key]
+    return s.where(s.notna(), "").astype(str).str.strip()
+
+
+def _norm_name_s(s: pd.Series) -> pd.Series:
+    """Vectorized :func:`normalize_name`: NFKC + upper + strip
+    punctuation + collapse whitespace."""
+    t = s.str.normalize("NFKC").str.upper()
+    t = t.str.replace(r"[^\w\s]", " ", regex=True)
+    return t.str.replace(r"\s+", " ", regex=True).str.strip()
+
+
+_DATE_NUM_S = re.compile(r"^(\d{1,4})[/\-.](\d{1,2})[/\-.](\d{1,4})$")
+_DATE_TEXT_S = re.compile(r"^([A-Za-z]{3,9})\.?\s+(\d{1,2}),?\s+(\d{2,4})$")
+_MONTHS_S = {
+    "jan": 1, "feb": 2, "mar": 3, "apr": 4, "may": 5, "jun": 6,
+    "jul": 7, "aug": 8, "sep": 9, "oct": 10, "nov": 11, "dec": 12,
+}
+
+
+def _fmt_ymd(y: np.ndarray, mo: np.ndarray, d: np.ndarray,
+             valid: np.ndarray) -> np.ndarray:
+    y = np.where(y < 100, np.where(y >= 30, y + 1900, y + 2000), y)
+    out = np.char.add(
+        np.char.add(np.char.zfill(y.astype("U4"), 4), "-"),
+        np.char.add(np.char.add(np.char.zfill(mo.astype("U2"), 2), "-"),
+                    np.char.zfill(d.astype("U2"), 2)),
+    )
+    return np.where(valid, out, "")
+
+
+def _norm_date_s(s: pd.Series) -> pd.Series:
+    """Vectorized :func:`normalize_date` (same spellings, same output)."""
+    s = s.str.strip()
+    out = np.full(len(s), "", dtype=object)
+    num = s.str.extract(_DATE_NUM_S)
+    has = num[0].notna().to_numpy()
+    if has.any():
+        a = pd.to_numeric(num[0][has]).to_numpy(dtype=np.int64)
+        b = pd.to_numeric(num[1][has]).to_numpy(dtype=np.int64)
+        c = pd.to_numeric(num[2][has]).to_numpy(dtype=np.int64)
+        ymd_first = a > 31                 # YYYY-MM-DD else MM/DD/YY(YY)
+        y = np.where(ymd_first, a, c)
+        mo = np.where(ymd_first, b, a)
+        d = np.where(ymd_first, c, b)
+        valid = (mo >= 1) & (mo <= 12) & (d >= 1) & (d <= 31)
+        out[has] = _fmt_ymd(y, mo, d, valid)
+    txt = s.str.extract(_DATE_TEXT_S)
+    hast = txt[0].notna().to_numpy() & ~has
+    if hast.any():
+        mo = (txt[0][hast].str[:3].str.lower().map(_MONTHS_S)
+              .to_numpy(dtype=np.float64))
+        d = pd.to_numeric(txt[1][hast]).to_numpy(dtype=np.int64)
+        y = pd.to_numeric(txt[2][hast]).to_numpy(dtype=np.int64)
+        valid = ~np.isnan(mo) & (d >= 1) & (d <= 31)
+        out[hast] = _fmt_ymd(y, np.nan_to_num(mo).astype(np.int64), d, valid)
+    return pd.Series(out, index=s.index, dtype=object)
 
 
 def extract_record_features(batch: pd.DataFrame) -> pd.DataFrame:
     """Wide record batch → feature frame (one row per valid record).
 
     Records missing DATA_SOURCE/RECORD_ID are dropped (the nack/DLQ path,
-    consumer.py:201-204 — quarantine them upstream if needed).
+    consumer.py:201-204 — quarantine them upstream if needed). Fully
+    column-vectorized (pandas .str kernels + numpy); the only per-match
+    Python is the address-suffix replacement callable and the month-name
+    map — both bounded by match counts, not row counts.
     """
-    rows = batch.to_dict("records")
-    out = {
-        "rec_key": [], "data_source": [], "record_id": [], "name_full": [],
-        "name_last": [], "dob": [], "dob_swapped": [], "phone": [],
-        "email": [], "ssn": [], "passport": [], "drivers_license": [],
-        "national_id": [], "addr": [],
-    }
-    for row in rows:
-        ds_, rid = _get(row, "DATA_SOURCE"), _get(row, "RECORD_ID")
-        if not ds_ or not rid:
-            continue
-        last = normalize_name(_get(row, "PRIMARY_NAME_LAST"))
-        first = normalize_name(_get(row, "PRIMARY_NAME_FIRST"))
-        middle = normalize_name(_get(row, "PRIMARY_NAME_MIDDLE"))
-        full = normalize_name(_get(row, "PRIMARY_NAME_FULL")) or " ".join(
-            x for x in (first, middle, last) if x
-        )
-        org = normalize_name(_get(row, "PRIMARY_NAME_ORG")) or normalize_name(
-            _get(row, "SECONDARY_NAME_ORG")
-        )
-        dob = normalize_date(_get(row, "DATE_OF_BIRTH"))
-        dob_swapped = ""
-        if dob:
-            y, m, d = dob.split("-")
-            if int(d) <= 12 and m != d:
-                dob_swapped = f"{y}-{d.zfill(2)}-{m.zfill(2)}"
-        out["rec_key"].append(f"{ds_}:{rid}")
-        out["data_source"].append(ds_)
-        out["record_id"].append(rid)
-        out["name_full"].append(full or org)
-        out["name_last"].append(last or org)
-        out["dob"].append(dob)
-        out["dob_swapped"].append(dob_swapped)
-        out["phone"].append(normalize_phone(_get(row, "PHONE_NUMBER")))
-        out["email"].append(_get(row, "EMAIL_ADDRESS").lower())
-        out["ssn"].append(re.sub(r"\D", "", _get(row, "SSN_NUMBER")))
-        out["passport"].append(_get(row, "PASSPORT_NUMBER").upper().replace(" ", ""))
-        out["drivers_license"].append(
-            _get(row, "DRIVERS_LICENSE_NUMBER").upper().replace(" ", "")
-        )
-        out["national_id"].append(
-            _get(row, "NATIONAL_ID_NUMBER").upper().replace(" ", "")
-        )
-        out["addr"].append(
-            normalize_addr(
-                _get(row, "ADDR_LINE1") or _get(row, "ADDR_FULL"),
-                _get(row, "ADDR_CITY"),
-                _get(row, "ADDR_POSTAL_CODE"),
-            )
-        )
-    return pd.DataFrame(out)
+    ds_ = _scol(batch, "DATA_SOURCE")
+    rid = _scol(batch, "RECORD_ID")
+    keep = (ds_ != "") & (rid != "")
+    b = batch[keep]
+    ds_, rid = ds_[keep], rid[keep]
+
+    last = _norm_name_s(_scol(b, "PRIMARY_NAME_LAST"))
+    first = _norm_name_s(_scol(b, "PRIMARY_NAME_FIRST"))
+    middle = _norm_name_s(_scol(b, "PRIMARY_NAME_MIDDLE"))
+    joined = (first + " " + middle + " " + last).str.replace(
+        r"\s+", " ", regex=True).str.strip()
+    full = _norm_name_s(_scol(b, "PRIMARY_NAME_FULL"))
+    full = full.where(full != "", joined)
+    org = _norm_name_s(_scol(b, "PRIMARY_NAME_ORG"))
+    org = org.where(org != "", _norm_name_s(_scol(b, "SECONDARY_NAME_ORG")))
+
+    dob = _norm_date_s(_scol(b, "DATE_OF_BIRTH"))
+    y, m, d = dob.str[:4], dob.str[5:7], dob.str[8:10]
+    d_num = pd.to_numeric(d, errors="coerce")
+    can_swap = (dob != "") & (d_num <= 12) & (m != d)
+    dob_swapped = (y + "-" + d + "-" + m).where(can_swap, "")
+
+    phone = _scol(b, "PHONE_NUMBER").str.replace(r"\D+", "", regex=True)
+    phone = phone.where(
+        ~((phone.str.len() == 11) & phone.str.startswith("1")), phone.str[1:]
+    )
+
+    def _ident(key: str) -> pd.Series:
+        return _scol(b, key).str.upper().str.replace(" ", "", regex=False)
+
+    line1 = _scol(b, "ADDR_LINE1")
+    line1 = line1.where(line1 != "", _scol(b, "ADDR_FULL"))
+    base = _norm_name_s(line1).str.replace(
+        _ADDR_SUFFIX_RE, lambda mt: _ADDR_SUFFIX[mt.group(0)], regex=True
+    ).str.replace(r"\s+", " ", regex=True).str.strip()
+    extra = _norm_name_s(_scol(b, "ADDR_CITY"))
+    extra = extra.where(extra != "", _scol(b, "ADDR_POSTAL_CODE"))
+    addr = (base + " " + extra).str.strip().where(base != "", "")
+
+    return pd.DataFrame({
+        "rec_key": (ds_ + ":" + rid),
+        "data_source": ds_,
+        "record_id": rid,
+        "name_full": full.where(full != "", org),
+        "name_last": last.where(last != "", org),
+        "dob": dob,
+        "dob_swapped": dob_swapped,
+        "phone": phone,
+        "email": _scol(b, "EMAIL_ADDRESS").str.lower(),
+        "ssn": _scol(b, "SSN_NUMBER").str.replace(r"\D", "", regex=True),
+        "passport": _ident("PASSPORT_NUMBER"),
+        "drivers_license": _ident("DRIVERS_LICENSE_NUMBER"),
+        "national_id": _ident("NATIONAL_ID_NUMBER"),
+        "addr": addr,
+    }).reset_index(drop=True)
 
 
 _IDENTIFIER_KEYS = ("phone", "email", "ssn", "passport", "drivers_license",

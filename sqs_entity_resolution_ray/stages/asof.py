@@ -119,9 +119,13 @@ def asof_join(
 
     # pandas renders the cross-side null padding as NaN, silently
     # promoting e.g. int64 → float64; each side's own rows are null-free,
-    # so restore the source dtypes before merging
+    # so restore the source dtypes before merging. The ts columns are
+    # padded on the opposite side too — integer timestamps would
+    # otherwise merge as float64 (precision loss past 2^53).
     lp_dtype = {c: ltype[c].to_pandas_dtype() for c in lcols}
+    lp_dtype["__ts"] = ltype[left_ts].to_pandas_dtype()
     rp_dtype = {"__r_" + c: rtype[c].to_pandas_dtype() for c in rcols}
+    rp_dtype["__r_ts"] = rtype[right_ts].to_pandas_dtype()
 
     def merge_partition(group: pd.DataFrame) -> pd.DataFrame:
         l = group[group["__side"] == 0]

@@ -39,8 +39,11 @@ import pyarrow as pa
 from ..config import MatchConfig, PipelineConfig
 
 # partition count for the band shuffle (each partition is scanned by one
-# task; 256 keeps partitions ≤ a few hundred MB up to ~10^9 band rows —
-# raise via PipelineConfig.shuffle_partitions for larger runs)
+# task). 64 is sized for this single-node benchmark: 24-byte band rows ×
+# ~10^8 rows / 64 ≈ tens of MB per partition, and fewer partitions keep
+# the per-task fixed cost low at small scale. At ~10^9+ band rows raise
+# toward 256+ (≤ a few hundred MB per partition) via
+# PipelineConfig.shuffle_partitions.
 BAND_PARTITIONS = 64
 
 _EMPTY_PAIRS = pa.table(

@@ -33,7 +33,12 @@ import ray.data as rd
 
 from ..functions.hashing import hash_str_array, hash_u64_pairs
 
-_WS_RE = re.compile(r"\S+")
+# ASCII whitespace class, NOT \S+: Python re is Unicode-aware while the
+# DuckDB oracles split on RE2 \s+ (ASCII by default), so \S+ here would
+# tokenize Unicode whitespace (NBSP etc.) differently and break oracle
+# parity on non-ASCII text. Matching engines explicitly keeps token
+# boundaries byte-identical between the Ray path and the SQL oracles.
+_WS_RE = re.compile(r"[^ \t\n\r\f\v]+")
 
 # ---------------------------------------------------------------------------
 # deterministic splits + sampling
@@ -106,6 +111,8 @@ def hash_sample(
     key exists. Same guarantees as :func:`stratified_sample`; the hash
     is uniform so the realized rate concentrates tightly around
     ``rate_pct`` for large inputs."""
+    if rate_pct >= 100.0:  # keep-everything: 2**64 overflows uint64
+        return ds
     threshold = np.uint64(int(rate_pct / 100.0 * 2**64))
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
@@ -225,16 +232,27 @@ def parse_json_field(
     """Extract an integer field from a JSON string column.
 
     Fast path: one vectorized RE2 ``extract_regex`` over the whole
-    batch (scalar numeric fields — the overwhelmingly common case for
-    event properties). Rows the regex misses (nested/escaped layouts)
-    fall back to ``json.loads`` individually, so semantics stay full
-    JSON while the hot path stays vectorized."""
+    batch (scalar integer fields — the overwhelmingly common case for
+    event properties). Rows the regex misses — or where the captured
+    run is the integer prefix of a float (``"k": 3.5``) — fall back to
+    ``json.loads`` individually, so numeric semantics stay full JSON
+    while the hot path stays vectorized. Known limit (documented, not
+    worth a JSON parse per row): the regex matches the FIRST occurrence
+    of the field name anywhere in the string, so a flat object layout
+    is assumed — a same-named key inside a NESTED object shadows the
+    top-level one (``{"a":{"k":1},"k":2}`` extracts 1)."""
     out_col = out_col or field
-    pattern = rf'"{re.escape(field)}"\s*:\s*(?P<v>-?\d+)'
+    # RE2 (no lookahead): capture one optional float-continuation char
+    # after the digits; a non-empty tail marks the row for the fallback
+    pattern = rf'"{re.escape(field)}"\s*:\s*(?P<v>-?\d+)(?P<tail>[.eE]?)'
 
     def f(t: pa.Table) -> pa.Table:
         ext = pc.extract_regex(t.column(json_col), pattern)
         vals = pc.cast(pc.struct_field(ext, "v"), pa.int64())
+        tail = pc.struct_field(ext, "tail")
+        is_float = pc.fill_null(pc.not_equal(tail, ""), False)
+        if pc.any(is_float).as_py():
+            vals = pc.if_else(is_float, pa.nulls(len(vals), pa.int64()), vals)
         if vals.null_count:
             np_vals = vals.to_numpy(zero_copy_only=False)
             mask = np.flatnonzero(pc.is_null(vals).to_numpy(
@@ -299,31 +317,40 @@ def decontaminate(
     n_tokens: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_cap: int = BENCH_BROADCAST_CAP,
+    num_partitions: int = 64,
 ) -> rd.Dataset:
     """Find corpus docs sharing any exact n-token shingle with a
     benchmark set (training-data decontamination against eval sets).
+    Returns the distinct contaminated ``id_col``, sorted.
 
-    The benchmark side (small by definition — eval suites are MBs, not
-    TBs) is shingle-hashed in parallel, deduped, and broadcast ONCE as
-    a sorted uint64 array; each corpus batch then shingles itself and
-    does a vectorized searchsorted membership test. Corpus text never
-    crosses a shuffle. Returns the distinct contaminated ``id_col``.
+    Broadcast path (the common case — eval suites are MBs, not TBs):
+    the benchmark side is shingle-hashed in parallel, deduped, and
+    broadcast ONCE as a sorted uint64 array; each corpus batch shingles
+    itself and does a vectorized searchsorted membership test. Corpus
+    text never crosses a shuffle.
+
+    Shuffle path (benchmark shingle set above ``broadcast_cap``): both
+    sides emit narrow (shingle-hash, doc-id) rows — per-batch deduped,
+    so shuffle volume is bounded by distinct shingles, never text —
+    hash-bucketed on the shingle hash, and a per-partition vectorized
+    searchsorted semi-join finds corpus hits. Same result, no driver
+    materialization of the benchmark set.
     """
+    from .agg import hash_aggregate
 
     def bench_hashes(batch: pd.DataFrame) -> pa.Table:
         h, _ = _raw_shingle_hashes(batch[text_col].tolist(), n_tokens)
         return pa.table({"sh": pa.array(np.unique(h), pa.uint64())})
 
-    parts = benchmark.map_batches(bench_hashes, batch_format="pandas")
-    bench = np.unique(
-        parts.to_pandas()["sh"].to_numpy(dtype=np.uint64)
-    )
-    if len(bench) > BENCH_BROADCAST_CAP:
-        raise ValueError(
-            f"benchmark shingle set ({len(bench)}) exceeds broadcast cap; "
-            "use the shuffle semi-join path (flat_map shingles + "
-            "stages/joins.broadcast_semi_join per hash bucket)"
-        )
+    parts = benchmark.map_batches(
+        bench_hashes, batch_format="pandas").materialize()
+    # per-batch-distinct row count upper-bounds the true set size — a
+    # cheap metadata read, no driver pull
+    if parts.count() > broadcast_cap:
+        return _decontaminate_shuffle(corpus, parts, n_tokens, text_col,
+                                      id_col, num_partitions)
+    bench = np.unique(parts.to_pandas()["sh"].to_numpy(dtype=np.uint64))
     bench_ref = ray.put(np.sort(bench))
 
     def contaminated(batch: pd.DataFrame) -> pa.Table:
@@ -340,8 +367,77 @@ def decontaminate(
         return pa.table({id_col: pa.array(ids[hit])})
 
     hits = corpus.map_batches(contaminated, batch_format="pandas")
-    # distinct (a doc can hit in several batches only if it spans blocks,
-    # which it can't — but keep the contract explicit and oracle-exact)
-    return hits.groupby(id_col).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    ).sort(id_col)
+    return _distinct_sorted(hits, id_col, hash_aggregate)
+
+
+def _distinct_sorted(hits: rd.Dataset, id_col: str, hash_aggregate):
+    """Distinct ids, sorted — two-phase combiner, no per-id Python call."""
+    return hash_aggregate(
+        hits, [id_col], {"_n": (id_col, "count")}
+    ).select_columns([id_col]).sort(id_col)
+
+
+def _decontaminate_shuffle(
+    corpus: rd.Dataset,
+    bench_parts: rd.Dataset,
+    n_tokens: int,
+    text_col: str,
+    id_col: str,
+    num_partitions: int,
+) -> rd.Dataset:
+    """Shingle-hash-bucketed semi-join (the above-broadcast-cap path)."""
+    from .agg import hash_aggregate
+
+    sch = corpus.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    if not isinstance(id_type, pa.DataType):  # pandas-block schema
+        id_type = (pa.string() if id_type == np.dtype("O")
+                   else pa.from_numpy_dtype(id_type))
+
+    def part_col(sh: np.ndarray) -> pa.Array:
+        return pa.array((sh % np.uint64(num_partitions)).astype(np.int64),
+                        pa.int64())
+
+    def bench_rows(t: pa.Table) -> pa.Table:
+        sh = t.column("sh").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            "sh": pa.array(sh, pa.uint64()),
+            "doc": pa.nulls(len(sh), id_type),
+            "side": pa.array(np.zeros(len(sh), dtype=np.int8), pa.int8()),
+            "part": part_col(sh),
+        })
+
+    def corpus_rows(batch: pd.DataFrame) -> pa.Table:
+        h, doc_idx = _raw_shingle_hashes(batch[text_col].tolist(), n_tokens)
+        ids = batch[id_col].to_numpy()
+        # per-batch (sh, doc) dedup bounds the shuffle at distinct
+        # shingle-doc incidences, not raw shingle count
+        if len(h):
+            key = np.stack([h, doc_idx.astype(np.uint64)], axis=1)
+            _, keep = np.unique(key, axis=0, return_index=True)
+            h, doc_idx = h[keep], doc_idx[keep]
+        return pa.table({
+            "sh": pa.array(h, pa.uint64()),
+            "doc": pa.array(ids[doc_idx], id_type),
+            "side": pa.array(np.ones(len(h), dtype=np.int8), pa.int8()),
+            "part": part_col(h),
+        })
+
+    tagged = bench_parts.map_batches(bench_rows, batch_format="pyarrow").union(
+        corpus.map_batches(corpus_rows, batch_format="pandas")
+    )
+
+    def part_hits(group: pd.DataFrame) -> pd.DataFrame:
+        b = np.unique(group.loc[group["side"] == 0, "sh"].to_numpy(
+            dtype=np.uint64))
+        cor = group[group["side"] == 1]
+        if len(b) == 0 or len(cor) == 0:
+            return cor.iloc[0:0][["doc"]].rename(columns={"doc": id_col})
+        h = cor["sh"].to_numpy(dtype=np.uint64)
+        pos = np.minimum(np.searchsorted(b, h), len(b) - 1)
+        out = cor.loc[b[pos] == h, ["doc"]].drop_duplicates()
+        return out.rename(columns={"doc": id_col})
+
+    hits = tagged.groupby("part", num_partitions=num_partitions).map_groups(
+        part_hits, batch_format="pandas")
+    return _distinct_sorted(hits, id_col, hash_aggregate)

@@ -1,12 +1,15 @@
 """Entity report assembly (SURVEY.md §2.5 A4 + §1.1 output contract).
 
 Reproduces the shape of the reference's resolved-entity report — one
-nested row per entity with member records, per-record match explanation
-and aggregated features (``test/fixtures/flow-output.jsonl:1``:
-``RESOLVED_ENTITY{ENTITY_ID, FEATURES, RECORDS[{RECORD_ID, MATCH_KEY,
-...}]}``) — via ``groupby(entity_id).map_groups``.
+nested row per entity with a representative name, member records,
+per-record match explanation, per-source record tally and aggregated
+features (``test/fixtures/flow-output.jsonl:1``:
+``RESOLVED_ENTITY{ENTITY_ID, ENTITY_NAME, FEATURES, RECORD_SUMMARY,
+RECORDS[{RECORD_ID, MATCH_KEY, ...}]}``) — assembled per hash-bucket
+partition with vectorized nested-array offsets, never one Python call
+per entity.
 
-Two fidelity points beyond the bare cluster map:
+Fidelity points beyond the bare cluster map:
 
 - **MATCH_KEY is built from the signals that actually matched** (the
   reference's per-record key varies by matched features, e.g.
@@ -58,12 +61,19 @@ RELATED_STRUCT = pa.struct(
 REPORT_SCHEMA = pa.schema(
     [
         ("entity_id", pa.string()),
+        ("entity_name", pa.string()),
         ("cluster_size", pa.int32()),
         ("records", pa.list_(RECORD_STRUCT)),
+        ("record_summary", pa.map_(pa.string(), pa.int32())),
         ("features", pa.map_(pa.string(), pa.list_(pa.string()))),
         ("related", pa.list_(RELATED_STRUCT)),
     ]
 )
+
+# url host = the DATA_SOURCE analogue for web pages (the reference's
+# RECORD_SUMMARY tallies member records per DATA_SOURCE,
+# test/fixtures/flow-output.jsonl:1)
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)"
 
 
 def _match_keys(ej: np.ndarray, hd: np.ndarray, jw: np.ndarray) -> np.ndarray:
@@ -181,54 +191,117 @@ def related_pairs(scored, clusters, cfg: PipelineConfig,
                           {"rel_score": ("score", "max")})
 
 
-def _build_entity(group: pa.Table) -> pa.Table:
-    # two row kinds share the flat schema: member rows carry url,
-    # related rows carry related_id (see entity_report's union)
-    is_member = group.column("url").is_valid().to_numpy(zero_copy_only=False)
-    mem = group.filter(pa.array(is_member))
-    rel = group.filter(pa.array(~is_member))
+def _offsets(sorted_codes: np.ndarray, n_groups: int) -> pa.Array:
+    """ListArray offsets (len n_groups+1) from ascending group codes."""
+    offs = np.empty(n_groups + 1, dtype=np.int64)
+    offs[:-1] = np.searchsorted(sorted_codes, np.arange(n_groups), side="left")
+    offs[-1] = len(sorted_codes)
+    return pa.array(offs.astype(np.int32), pa.int32())
 
-    urls = mem.column("url").to_pylist()
-    order = np.argsort(urls)
-    urls = [urls[i] for i in order]
-    scores = mem.column("best_score").to_pylist()
-    scores = [scores[i] for i in order]
-    keys = mem.column("match_key").to_pylist()
-    keys = [keys[i] for i in order]
-    titles = mem.column("title").to_pylist()
-    langs = mem.column("lang").to_pylist()
-    records = [
-        {
-            "url": u,
-            "score": float(s) if s is not None else 0.0,
-            "match_key": k if (k and s is not None) else "",
-        }
-        for u, s, k in zip(urls, scores, keys)
-    ]
-    features = [
-        ("TITLE", sorted({t for t in titles if t})),
-        ("LANG", sorted({l for l in langs if l})),
-    ]
-    rel_ids = rel.column("related_id").to_pylist()
-    rel_scores = rel.column("rel_score").to_pylist()
-    rel_order = np.argsort(rel_ids) if rel_ids else []
-    related = [
-        {
-            "entity_id": rel_ids[i],
-            "match_level": "POSSIBLY_RELATED",
-            "score": float(rel_scores[i]),
-        }
-        for i in rel_order
-    ]
-    entity_id = (mem if mem.num_rows else group).column("entity_id")[0].as_py()
+
+def _build_partition(df: pd.DataFrame) -> pa.Table:
+    """One hash-bucket of flat report rows → nested entity rows.
+
+    ONE Python call per partition (not per entity — the repo's own
+    blocking docstring names per-key map_groups as the measured scaling
+    cliff); every nested column is assembled with vectorized offsets
+    (``pa.ListArray/MapArray.from_arrays`` over sort+searchsorted group
+    boundaries). Two flat row kinds share the schema: member rows carry
+    url, related rows carry related_id (see entity_report's union)."""
+    ents = np.unique(df["entity_id"].to_numpy(dtype=object))
+    n = len(ents)
+    is_mem = df["url"].notna()
+    mem = df[is_mem].sort_values(["entity_id", "url"], kind="mergesort")
+    rel = df[~is_mem].sort_values(["entity_id", "related_id"],
+                                  kind="mergesort")
+    mem_ent = mem["entity_id"].to_numpy(dtype=object)
+    mem_code = np.searchsorted(ents, mem_ent)
+
+    # records: per-member struct rows grouped by entity offsets
+    scores = mem["best_score"].to_numpy(dtype=np.float64)
+    has_score = ~np.isnan(scores)
+    mkk = mem["match_key"].where(
+        mem["match_key"].notna() & has_score, "").to_numpy(dtype=object)
+    rec_struct = pa.StructArray.from_arrays(
+        [pa.array(mem["url"].to_numpy(dtype=object), pa.string()),
+         pa.array(np.where(has_score, scores, 0.0), pa.float32()),
+         pa.array(mkk, pa.string())],
+        fields=list(RECORD_STRUCT),
+    )
+    rec_offs = _offsets(mem_code, n)
+    records = pa.ListArray.from_arrays(rec_offs, rec_struct)
+    cluster_size = np.diff(rec_offs.to_numpy(zero_copy_only=False))
+
+    # entity_name: most frequent non-empty member title, ties by title
+    # ascending (a deterministic representative-name pick — the
+    # reference's ENTITY_NAME is its engine's best-name selection)
+    titled = mem[mem["title"].notna() & (mem["title"] != "")]
+    vc = titled.groupby(["entity_id", "title"], sort=False).size()
+    vc = vc.reset_index(name="cnt").sort_values(
+        ["entity_id", "cnt", "title"], ascending=[True, False, True],
+        kind="mergesort").drop_duplicates("entity_id")
+    names = np.full(n, "", dtype=object)
+    names[np.searchsorted(ents, vc["entity_id"].to_numpy(dtype=object))] = (
+        vc["title"].to_numpy(dtype=object))
+
+    # record_summary: member tally per source (url host), sorted by host
+    hosts = mem["url"].str.extract(_HOST_RE, expand=False).fillna("")
+    tally = pd.DataFrame({"entity_id": mem_ent, "src": hosts.to_numpy()})
+    tally = tally.groupby(["entity_id", "src"], sort=False).size()
+    tally = tally.reset_index(name="cnt").sort_values(
+        ["entity_id", "src"], kind="mergesort")
+    rs_offs = _offsets(
+        np.searchsorted(ents, tally["entity_id"].to_numpy(dtype=object)), n)
+    record_summary = pa.MapArray.from_arrays(
+        rs_offs,
+        pa.array(tally["src"].to_numpy(dtype=object), pa.string()),
+        pa.array(tally["cnt"].to_numpy(dtype=np.int32), pa.int32()),
+    )
+
+    # features map: TITLE then LANG per entity (both keys always
+    # present, possibly with empty value lists); values sorted unique
+    frames = []
+    for rank, col in ((0, "title"), (1, "lang")):
+        u = mem[["entity_id", col]].rename(columns={col: "val"})
+        u = u[u["val"].notna() & (u["val"] != "")].drop_duplicates()
+        u["rank"] = rank
+        frames.append(u)
+    fr = pd.concat(frames).sort_values(["entity_id", "rank", "val"],
+                                       kind="mergesort")
+    fr_code = (np.searchsorted(ents, fr["entity_id"].to_numpy(dtype=object))
+               * 2 + fr["rank"].to_numpy())
+    items = pa.ListArray.from_arrays(
+        _offsets(fr_code, 2 * n),
+        pa.array(fr["val"].to_numpy(dtype=object), pa.string()),
+    )
+    features = pa.MapArray.from_arrays(
+        pa.array((np.arange(n + 1) * 2).astype(np.int32), pa.int32()),
+        pa.array(np.tile(np.array(["TITLE", "LANG"], dtype=object), n),
+                 pa.string()),
+        items,
+    )
+
+    # related: near-miss peers grouped by entity offsets
+    rel_code = np.searchsorted(ents, rel["entity_id"].to_numpy(dtype=object))
+    rel_struct = pa.StructArray.from_arrays(
+        [pa.array(rel["related_id"].to_numpy(dtype=object), pa.string()),
+         pa.array(np.full(len(rel), "POSSIBLY_RELATED", dtype=object),
+                  pa.string()),
+         pa.array(rel["rel_score"].to_numpy(dtype=np.float64), pa.float32())],
+        fields=list(RELATED_STRUCT),
+    )
+    related = pa.ListArray.from_arrays(_offsets(rel_code, n), rel_struct)
+
     return pa.table(
         {
-            "entity_id": pa.array([entity_id], pa.string()),
-            "cluster_size": pa.array([len(urls)], pa.int32()),
-            "records": pa.array([records], pa.list_(RECORD_STRUCT)),
-            "features": pa.array([features],
-                                 pa.map_(pa.string(), pa.list_(pa.string()))),
-            "related": pa.array([related], pa.list_(RELATED_STRUCT)),
+            "entity_id": pa.array(ents, pa.string()),
+            "entity_name": pa.array(names, pa.string()),
+            "cluster_size": pa.array(cluster_size.astype(np.int32),
+                                     pa.int32()),
+            "records": records,
+            "record_summary": record_summary,
+            "features": features,
+            "related": related,
         }
     )
 
@@ -294,6 +367,19 @@ def entity_report(clusters, profiles, edges, scored=None,
 
         rows = rows.union(rel.map_batches(project_related,
                                           batch_format="pandas"))
-    return rows.groupby("entity_id").map_groups(
-        _build_entity, batch_format="pyarrow"
-    )
+    # hash-bucket entity ids → ONE vectorized assembly call per
+    # partition (same single-int-key shuffle as stages/agg.py); a
+    # per-entity map_groups here was the measured scaling cliff
+    n_buckets = max(16, n_part)
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch["entity_id"], index=False)
+        batch["part"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return batch
+
+    def build(group: pd.DataFrame) -> pa.Table:
+        return _build_partition(group.drop(columns=["part"]))
+
+    return rows.map_batches(add_part, batch_format="pandas").groupby(
+        "part", num_partitions=n_buckets
+    ).map_groups(build, batch_format="pandas")

@@ -142,13 +142,17 @@ def ann_topk_ivf(ds: rd.Dataset, query_ids: np.ndarray,
     cent_ref = ray.put(cent)
     q = _unit(np.asarray(query_mat, dtype=np.float32))
     probe_lists = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # per query
-    allowed = [set(row.tolist()) for row in probe_lists]
-    ref = ray.put((np.asarray(query_ids), q, allowed))
+    # (n_queries, n_lists) boolean membership matrix: per-batch probe
+    # filtering is then one fancy-index row lookup, not a Python set
+    # membership per (query, vector) pair
+    allowed_mat = np.zeros((len(q), len(cent)), dtype=bool)
+    np.put_along_axis(allowed_mat, probe_lists, True, axis=1)
+    ref = ray.put((np.asarray(query_ids), q, allowed_mat))
 
     class ProbedTopK:
         def __init__(self):
             self.cent = ray.get(cent_ref)
-            self.qids, self.q, self.allowed = ray.get(ref)
+            self.qids, self.q, self.allowed_mat = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             embs = np.asarray(batch.column(emb_col).to_pylist(),
@@ -163,8 +167,7 @@ def ann_topk_ivf(ds: rd.Dataset, query_ids: np.ndarray,
             sims = self.q @ unit.T
             out_q, out_v, out_s = [], [], []
             for qi in range(len(self.qids)):
-                mask = np.fromiter((a in self.allowed[qi] for a in assign),
-                                   dtype=bool, count=len(assign))
+                mask = self.allowed_mat[qi, assign]
                 if exclude_self:
                     mask &= ids != self.qids[qi]
                 cand = np.flatnonzero(mask)

@@ -147,6 +147,91 @@ class Tracker:
         return self._load()
 
 
+def affected_entities_ds(prev_clusters, new_clusters,
+                         num_partitions: int = 32
+                         ) -> tuple[list[str], list[str]]:
+    """Distributed cluster-map diff: same contract as
+    :func:`affected_entities` but over ``(url, entity_id)`` Datasets —
+    nothing corpus-sized ever reaches the driver.
+
+    Plan: tag both maps (side 0 = prev, 1 = new), hash-bucket on url so
+    each url's two rows co-locate, and per partition emit deduped
+    (entity_id, cn, co) flag partials — cn = new id on a changed url,
+    co = old id on a changed url. An entity-keyed aggregate merges the
+    flags; the driver collects only that churn-sized table. Old ids
+    needing an existence check (co without cn) are then resolved with
+    ONE streaming broadcast-filter scan of the new map — no shuffle,
+    nothing corpus-sized collected. affected = cn ∪ (co ∩ exists-new);
+    deleted = co − exists-new."""
+    import numpy as np
+
+    from ..stages.agg import hash_aggregate
+    from ..stages.joins import broadcast_semi_join
+
+    from_new = new_clusters.select_columns(["url", "entity_id"])
+    if prev_clusters is None:
+        ids = hash_aggregate(
+            from_new.select_columns(["entity_id"]),
+            ["entity_id"], {"_n": ("entity_id", "count")},
+        ).select_columns(["entity_id"]).to_pandas()
+        return sorted(ids["entity_id"]), []
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            urls = t.column("url").to_pandas()
+            h = pd.util.hash_pandas_object(urls, index=False)
+            return pa.table({
+                "url": t.column("url"),
+                "entity_id": t.column("entity_id"),
+                "side": pa.array(
+                    np.full(len(t), side, dtype=np.int8), pa.int8()),
+                "part": pa.array(
+                    (h % np.uint64(num_partitions)).to_numpy().astype(
+                        np.int64), pa.int64()),
+            })
+        return f
+
+    tagged = prev_clusters.select_columns(["url", "entity_id"]).map_batches(
+        tag(0), batch_format="pyarrow"
+    ).union(from_new.map_batches(tag(1), batch_format="pyarrow"))
+
+    def diff_part(g: pd.DataFrame) -> pd.DataFrame:
+        old = g.loc[g["side"] == 0, ["url", "entity_id"]]
+        new = g.loc[g["side"] == 1, ["url", "entity_id"]]
+        m = old.merge(new, on="url", how="outer", suffixes=("_o", "_n"))
+        changed = m[m["entity_id_o"].ne(m["entity_id_n"])]
+        cn = changed["entity_id_n"].dropna().unique()
+        co = changed["entity_id_o"].dropna().unique()
+        f = pd.concat([
+            pd.DataFrame({"entity_id": cn, "cn": 1, "co": 0}),
+            pd.DataFrame({"entity_id": co, "cn": 0, "co": 1}),
+        ])
+        return f.groupby("entity_id", as_index=False).max()
+
+    partials = tagged.groupby("part", num_partitions=num_partitions).map_groups(
+        diff_part, batch_format="pandas")
+    flags = hash_aggregate(partials, ["entity_id"],
+                           {"cn": ("cn", "max"), "co": ("co", "max")}
+                           ).to_pandas()
+    cn_set = set(flags.loc[flags["cn"] > 0, "entity_id"])
+    co_only = sorted(set(flags.loc[flags["co"] > 0, "entity_id"]) - cn_set)
+    exists = set()
+    if co_only:
+        # a changed-url new id (cn) exists in new by construction; only
+        # the co-only ids need the existence scan
+        exists = set(
+            hash_aggregate(
+                broadcast_semi_join(
+                    from_new.select_columns(["entity_id"]),
+                    "entity_id", co_only),
+                ["entity_id"], {"_n": ("entity_id", "count")},
+            ).select_columns(["entity_id"]).to_pandas()["entity_id"]
+        )
+    affected_ids = sorted(cn_set | (set(co_only) & exists))
+    deleted_ids = sorted(set(co_only) - exists)
+    return affected_ids, deleted_ids
+
+
 def affected_entities(prev_clusters: pd.DataFrame | None,
                       new_clusters: pd.DataFrame) -> tuple[list[str], list[str]]:
     """Diff two (url, entity_id) cluster maps.

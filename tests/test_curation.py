@@ -154,3 +154,36 @@ def test_decontaminate_exact_shingles(ray_session):
     }))
     out = decontaminate(corpus, bench, n_tokens=8).to_pandas()
     assert out["doc_id"].tolist() == [0, 3]
+
+    # shuffle semi-join fallback (cap forced to 0): identical result
+    # without a driver/broadcast materialization of the benchmark set
+    out2 = decontaminate(corpus, bench, n_tokens=8,
+                         broadcast_cap=0, num_partitions=8).to_pandas()
+    assert out2["doc_id"].tolist() == [0, 3]
+
+
+def test_parse_json_field_float_falls_back(ray_session):
+    """Integer-prefix of a float must not be extracted by the regex fast
+    path (ADVICE r2): '"k": 3.5' goes through json.loads → truncates to
+    3 via int(), and scientific notation resolves fully."""
+    import ray.data as rd
+
+    rows = [
+        {"eid": 0, "props": '{"k": 3.5}'},
+        {"eid": 1, "props": '{"k": 2e3}'},
+        {"eid": 2, "props": '{"k": 7}'},
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = parse_json_field(ds, "props", "k").to_pandas().sort_values("eid")
+    assert out["k"].tolist() == [3, 2000, 7]
+
+
+def test_hash_sample_full_rate(ray_session):
+    """rate_pct >= 100 keeps every row (uint64 overflow guard)."""
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.stages.curation import hash_sample
+
+    ds = rd.from_pandas(pd.DataFrame({"k": list(range(50))}))
+    assert hash_sample(ds, "k", 100.0).count() == 50
+    assert hash_sample(ds, "k", 150.0).count() == 50

@@ -59,6 +59,47 @@ def test_affected_entities_diff():
     assert a3 == ["E1", "E2"] and d3 == []
 
 
+def test_affected_entities_ds_matches_pandas(ray_session):
+    """The distributed diff (Datasets, churn-sized driver collect) must
+    agree with the pandas reference on randomized cluster-map churn:
+    moves, merges (deletions), splits, added and removed urls."""
+    import numpy as np
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.state.tracker import (
+        affected_entities,
+        affected_entities_ds,
+    )
+
+    rng = np.random.default_rng(11)
+    urls = [f"u{i}" for i in range(300)]
+    prev = pd.DataFrame({
+        "url": urls,
+        "entity_id": [f"E{rng.integers(0, 60)}" for _ in urls],
+    })
+    new = prev.copy()
+    move = rng.choice(len(new), size=40, replace=False)
+    new.loc[move, "entity_id"] = [f"E{rng.integers(0, 70)}" for _ in move]
+    new = new[new.index % 17 != 0]                       # removed urls
+    added = pd.DataFrame({
+        "url": [f"new{i}" for i in range(25)],
+        "entity_id": [f"E{rng.integers(0, 70)}" for i in range(25)],
+    })
+    new = pd.concat([new, added], ignore_index=True)
+
+    want_aff, want_del = affected_entities(prev, new)
+    got_aff, got_del = affected_entities_ds(
+        rd.from_pandas(prev).repartition(5),
+        rd.from_pandas(new).repartition(7),
+        num_partitions=8,
+    )
+    assert got_aff == want_aff
+    assert got_del == want_del
+    # first-run path
+    a, d = affected_entities_ds(None, rd.from_pandas(new))
+    assert a == sorted(new["entity_id"].unique()) and d == []
+
+
 def test_delta_export_flow(resolved, corpus, ray_session, tmp_path):
     """The reference flow: resolve → full export → add one page → delta
     export contains exactly the affected entity → second delta empty."""

@@ -11,8 +11,9 @@ def test_entity_report(resolved, ray_session):
     art, clusters = resolved
     rep = entity_report(art.clusters, art.profiles, art.edges).to_pandas()
     assert len(rep) == clusters["entity_id"].nunique()
-    assert set(rep.columns) == {"entity_id", "cluster_size", "records",
-                                "features", "related"}
+    assert set(rep.columns) == {"entity_id", "entity_name", "cluster_size",
+                                "records", "record_summary", "features",
+                                "related"}
     # member counts agree with the cluster map
     sizes = clusters.groupby("entity_id").size()
     for _, row in rep.sample(min(20, len(rep)), random_state=0).iterrows():
@@ -20,6 +21,16 @@ def test_entity_report(resolved, ray_session):
         assert len(row["records"]) == row["cluster_size"]
         urls = [r["url"] for r in row["records"]]
         assert urls == sorted(urls)  # deterministic member order
+        # RECORD_SUMMARY: per-source (url host) tallies sum to the size
+        summary = dict(row["record_summary"])
+        assert sum(summary.values()) == row["cluster_size"]
+        hosts = {u.split("://", 1)[1].split("/", 1)[0] for u in urls}
+        assert set(summary) == hosts
+        # ENTITY_NAME is the modal member title (ties → lexicographic)
+        titles = [t for f in row["features"] if f[0] == "TITLE"
+                  for t in f[1]]
+        if titles:
+            assert row["entity_name"] in titles
     # multi-member entities carry a match explanation (MATCH_KEY analogue)
     multi = rep[rep["cluster_size"] > 1].iloc[0]
     assert any(r["match_key"] for r in multi["records"])
