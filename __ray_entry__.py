@@ -172,6 +172,54 @@ def q_fingerprints(sf_dir: str):
     return fingerprints(_docs(sf_dir))
 
 
+def q_repetition(sf_dir: str):
+    """Within-document repetition quality signals (Gopher-style): modal
+    token fraction + duplicate-bigram fraction, no shuffle."""
+    from sqs_entity_resolution_ray.stages.text_analysis import repetition
+
+    return repetition(_docs(sf_dir))
+
+
+def q_cust_order_counts(sf_dir: str):
+    """Left-outer join rollup: every customer with their order count,
+    zero included (the join preserves unmatched left rows; the count
+    sums a non-null flag, not group size)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.stages.agg import hash_aggregate
+    from sqs_entity_resolution_ray.stages.joins import hash_join
+
+    import numpy as np
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    # the join merges the key columns, so matched-ness needs an
+    # explicit marker on the right side (null after a left-outer miss)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    ).map_batches(
+        lambda t: t.append_column(
+            "one", pa.array(np.ones(len(t), dtype=np.int64))),
+        batch_format="pyarrow",
+    )
+    n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    joined = hash_join(cust, orders, on="c_custkey", right_on="o_custkey",
+                       join_type="left_outer", num_rows_hint=n_orders)
+
+    def flag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "c_custkey": t.column("c_custkey"),
+            "hit": pc.fill_null(t.column("one"), 0),
+        })
+
+    return hash_aggregate(joined.map_batches(flag, batch_format="pyarrow"),
+                          ["c_custkey"], {"n_orders": ("hit", "sum")})
+
+
 def q_doc_stats(sf_dir: str):
     """A4-style grouped aggregation with integer-exact measures."""
     from ray.data.aggregate import Count, Max, Min, Sum
@@ -653,6 +701,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": q_token_count,
         "quality": q_quality,
         "fingerprints": q_fingerprints,
+        "repetition": q_repetition,
+        "cust_order_counts": q_cust_order_counts,
         "doc_stats": q_doc_stats,
         "lang_filter": q_lang_filter,
         "event_tallies": q_event_tallies,
@@ -895,6 +945,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "
             "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END "
             "AS n_tokens FROM documents"
+        ),
+        "repetition": (
+            # exact float64 divisions of integer counts — no rounding
+            # needed for bit parity; '\s+' (RE2 ASCII) mirrors the
+            # ASCII whitespace class in stages/text_analysis._WS_RE
+            "WITH base AS (SELECT doc_id, trim(text) AS tx FROM documents), "
+            "toks AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(tx, '\\s+')) AS tok "
+            "FROM base WHERE tx <> ''), "
+            "tc AS (SELECT doc_id, tok, count(*) AS c FROM toks "
+            "GROUP BY doc_id, tok), "
+            "tot AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / "
+            "CAST(sum(c) AS DOUBLE) AS tf FROM tc GROUP BY doc_id), "
+            "arr AS (SELECT doc_id, "
+            "regexp_split_to_array(tx, '\\s+') AS a FROM base "
+            "WHERE tx <> ''), "
+            "bg AS (SELECT doc_id, a[i] AS x, a[i + 1] AS y FROM ("
+            "SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i "
+            "FROM arr WHERE len(a) >= 2)), "
+            "bgs AS (SELECT doc_id, 1.0 - "
+            "CAST(count(DISTINCT x || ' ' || y) AS DOUBLE) / "
+            "CAST(count(*) AS DOUBLE) AS df FROM bg GROUP BY doc_id) "
+            "SELECT b.doc_id, COALESCE(tot.tf, 0.0) AS top_token_frac, "
+            "COALESCE(bgs.df, 0.0) AS dup_2gram_frac "
+            "FROM base b LEFT JOIN tot USING (doc_id) "
+            "LEFT JOIN bgs USING (doc_id)"
+        ),
+        "cust_order_counts": (
+            "SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) "
+            "AS n_orders FROM customer LEFT JOIN orders "
+            "ON o_custkey = c_custkey GROUP BY c_custkey"
         ),
         "doc_stats": (
             # CAST: DuckDB sum(INT) yields HUGEINT (→float64 in pandas)

@@ -81,36 +81,77 @@ def _steal_jiffies() -> tuple[int, int]:
 
 
 def _probe_sec() -> float:
-    """Fixed-work single-thread calibration probe (~0.5-1 s nominal).
+    """Fixed-work single-thread CPU calibration probe (~0.3 s nominal).
 
     Times a pinned numpy kernel (sort + LCG mix over 2M uint64, 6
-    rounds; single-threaded — no BLAS). Run before/after each headline
-    measurement so "slow host" vs "slow code" is decidable from the
-    bench JSON alone: a slow headline with a slow probe is host
-    contention; a slow headline with a nominal probe is a code
-    regression. Quiet-window nominal is recorded in BASELINE.md."""
+    rounds; single-threaded — no BLAS) over PREALLOCATED buffers — all
+    arithmetic is in-place, zero allocations inside the timed window.
+    This isolates granted CPU cycles: a fresh-alloc variant measured
+    6-7 s spikes from kernel memory-reclaim stalls (95 % system time)
+    even on a CPU-quiet host, which is a different failure mode than
+    steal. Run before/after each headline measurement so "slow host"
+    vs "slow code" is decidable from the bench JSON alone. Nominal
+    values are recorded in BASELINE.md."""
     import numpy as np
 
-    # warm once (allocator + page faults) so the first timed probe of a
-    # process isn't ~15x inflated vs steady state
-    if not getattr(_probe_sec, "_warm", False):
-        np.sort(np.arange(2_000_000, dtype=np.uint64))
-        _probe_sec._warm = True
-    a = (np.arange(2_000_000, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    bufs = getattr(_probe_sec, "_bufs", None)
+    if bufs is None:
+        seed = (np.arange(2_000_000, dtype=np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15))
+        bufs = (seed, np.empty_like(seed), np.empty_like(seed))
+        # touch every page once so first use pays no fault cost
+        bufs[1][:] = seed
+        bufs[2][:] = seed
+        _probe_sec._bufs = bufs
+    seed, a, tmp = bufs
+    np.copyto(a, seed)
     t0 = time.perf_counter()
     for _ in range(6):
-        b = np.sort(a)
-        a = (a * np.uint64(6364136223846793005)
-             + np.uint64(1442695040888963407)) ^ (b >> np.uint64(17))
+        np.copyto(tmp, a)
+        tmp.sort()
+        np.multiply(a, np.uint64(6364136223846793005), out=a)
+        np.add(a, np.uint64(1442695040888963407), out=a)
+        np.right_shift(tmp, np.uint64(17), out=tmp)
+        np.bitwise_xor(a, tmp, out=a)
     assert int(a[0]) >= 0
     return round(time.perf_counter() - t0, 3)
 
 
-def _run_headline(runs: int = 2):
+# probe time below which the host counts as quiet. Nominal: ~0.25 s in
+# a fresh process, ~0.4-1.0 s inside a long-running Ray-driver process
+# (allocator/THP state); contended windows measure 2-9 s — see
+# BASELINE.md calibration. 1.2 accepts the in-process nominal band
+# while still rejecting contended windows by 2x+.
+QUIET_PROBE_SEC = float(os.environ.get("GRAFT_QUIET_PROBE_SEC", "1.2"))
+QUIET_WAIT_SEC = int(os.environ.get("GRAFT_QUIET_WAIT_SEC", "180"))
+
+
+def _wait_quiet(max_wait: int = QUIET_WAIT_SEC) -> float:
+    """Wait (bounded) for a low-steal window: two consecutive nominal
+    probes. Returns seconds waited. The headline is measured either
+    way — the bracketing probes in the JSON say which case occurred."""
+    t0 = time.perf_counter()
+    good = 0
+    while time.perf_counter() - t0 < max_wait:
+        if _probe_sec() < QUIET_PROBE_SEC:
+            good += 1
+            if good >= 2:
+                break
+        else:
+            good = 0
+            time.sleep(5)
+    return round(time.perf_counter() - t0, 1)
+
+
+HEADLINE_RUNS = int(os.environ.get("GRAFT_HEADLINE_RUNS", "2"))
+
+
+def _run_headline(runs: int = HEADLINE_RUNS):
     """Resolve the amplified corpus; returns (best sec, n_pages, all runs,
     steal_pct, probes). min-of-N damps host-steal variance (see
     _steal_jiffies); probes = fixed-work calibration times bracketing
-    the measured window (see _probe_sec)."""
+    the measured window (see _probe_sec). GRAFT_HEADLINE_RUNS raises N
+    for burst-dodging (scaling legs on a noisy host)."""
     from sqs_entity_resolution_ray.pipelines.resolve import read_pages, resolve
 
     corpus = _headline_corpus()
@@ -120,6 +161,7 @@ def _run_headline(runs: int = 2):
             while fh.read(1 << 24):
                 pass
     _warm_cluster()
+    waited = _wait_quiet()
     s0, t0j = _steal_jiffies()
     probes = [_probe_sec()]
     secs = []
@@ -131,7 +173,8 @@ def _run_headline(runs: int = 2):
         probes.append(_probe_sec())
     s1, t1j = _steal_jiffies()
     steal_pct = round(100.0 * (s1 - s0) / max(t1j - t0j, 1), 1)
-    return min(secs), n_pages, [round(s, 3) for s in secs], steal_pct, probes
+    return (min(secs), n_pages, [round(s, 3) for s in secs], steal_pct,
+            probes, waited)
 
 
 def run_bench() -> dict:
@@ -157,14 +200,15 @@ def run_bench() -> dict:
 
     # headline: flagship ER pipeline (pages -> clusters) on the
     # amplified corpus (generation is cached and untimed)
-    headline, n_pages, runs, steal_pct, probes = _run_headline()
+    headline, n_pages, runs, steal_pct, probes, waited = _run_headline()
     timings["resolve_pages"] = round(headline, 3)
 
     # secondary pipelines (each timed once)
     for name in ("minhash_dedup", "exact_dedup", "simhash_dedup",
                  "ann_topk", "token_count", "language_id", "quality",
                  "lineitem_agg", "window_hourly", "event_tallies",
-                 "top_parts", "token_topk", "contaminated"):
+                 "top_parts", "token_topk", "contaminated",
+                 "repetition", "cust_order_counts"):
         t0 = time.perf_counter()
         res = queries[name](SF_DIR)
         try:  # consume lazily-returned Datasets
@@ -188,6 +232,7 @@ def run_bench() -> dict:
         "headline_runs": runs,
         "host_steal_pct": steal_pct,
         "probe_sec": probes,
+        "quiet_wait_sec": waited,
         "loadavg_1m": round(os.getloadavg()[0], 2),
     }
     ray.shutdown()
@@ -216,12 +261,12 @@ def run_headline_only() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     _tune_context(ctx)
-    sec, n_pages, runs, steal_pct, probes = _run_headline()
+    sec, n_pages, runs, steal_pct, probes, waited = _run_headline()
     ray.shutdown()
     return {"sec": round(sec, 3), "pages": n_pages, "num_cpus": NUM_CPUS,
             "pages_per_sec": round(n_pages / sec, 1),
             "headline_runs": runs, "host_steal_pct": steal_pct,
-            "probe_sec": probes,
+            "probe_sec": probes, "quiet_wait_sec": waited,
             "loadavg_1m": round(os.getloadavg()[0], 2)}
 
 

@@ -23,6 +23,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..config import MatchConfig, PipelineConfig, effective_partitions
+from ..functions.arrays import list_column_to_matrix
 from ..functions.hashing import hash_str_array, stable_rng
 from ..functions.minhash import (
     band_keys,
@@ -475,7 +476,7 @@ def embedding_dedup(ds: rd.Dataset, emb_col: str = "embedding",
     planes = rng.standard_normal((n_sets, n_planes, dim)).astype(np.float32)
 
     def emit(batch: pa.Table) -> pa.Table:
-        embs = np.asarray(batch.column(emb_col).to_pylist(), dtype=np.float32)
+        embs = list_column_to_matrix(batch.column(emb_col), np.float32)
         n = len(embs)
         norms = np.linalg.norm(embs, axis=1, keepdims=True)
         unit = embs / np.maximum(norms, 1e-12)
@@ -520,8 +521,8 @@ def embedding_dedup(ds: rd.Dataset, emb_col: str = "embedding",
         if len(multi) == 0:
             return empty
         ids_all = group.column("vec_id").to_pylist()
-        embs_all = np.asarray(group.column("embedding").to_pylist(),
-                              dtype=np.float32)
+        embs_all = list_column_to_matrix(group.column("embedding"),
+                                         np.float32)
         out_a, out_b = [], []
         for g in multi:
             members = order[starts[g]:ends[g]]

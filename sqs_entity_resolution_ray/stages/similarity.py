@@ -21,6 +21,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..functions.arrays import list_column_to_matrix
 from ..functions.hashing import stable_rng
 
 
@@ -50,8 +51,7 @@ class _PartialTopK:
         self.exclude_self = exclude_self
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        embs = np.asarray(batch.column(self.emb_col).to_pylist(),
-                          dtype=np.float32)
+        embs = list_column_to_matrix(batch.column(self.emb_col), np.float32)
         if len(embs) == 0:
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "vec_id": pa.array([], pa.int64()),
@@ -155,8 +155,7 @@ def ann_topk_ivf(ds: rd.Dataset, query_ids: np.ndarray,
             self.qids, self.q, self.allowed_mat = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            embs = np.asarray(batch.column(emb_col).to_pylist(),
-                              dtype=np.float32)
+            embs = list_column_to_matrix(batch.column(emb_col), np.float32)
             if len(embs) == 0:
                 return pa.table({"query_id": pa.array([], pa.int64()),
                                  "vec_id": pa.array([], pa.int64()),

@@ -106,3 +106,32 @@ def test_textnorm():
     assert normalize_date("1978-12-11") == "1978-12-11"
     assert normalize_date("not a date") == ""
     assert normalize_name("  smith,  JOHN q.") == "SMITH JOHN Q"
+
+
+def test_list_column_to_matrix():
+    """Zero-copy list<float> → matrix: plain, sliced, chunked, ragged."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sqs_entity_resolution_ray.functions.arrays import (
+        list_column_to_matrix,
+    )
+
+    rows = [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]
+    arr = pa.array(rows, pa.list_(pa.float32()))
+    assert np.array_equal(list_column_to_matrix(arr), np.asarray(rows))
+    # slice offsets must be respected (flatten handles them)
+    assert np.array_equal(list_column_to_matrix(arr.slice(1, 2)),
+                          np.asarray(rows[1:]))
+    chunked = pa.chunked_array([arr.slice(0, 1), arr.slice(1, 2)])
+    assert np.array_equal(list_column_to_matrix(chunked), np.asarray(rows))
+    fixed = pa.array(rows, pa.list_(pa.float32(), 2))
+    assert np.array_equal(list_column_to_matrix(fixed), np.asarray(rows))
+    # ragged falls back (object path) without crashing uniform callers
+    ragged = pa.array([[1.0], [2.0, 3.0]], pa.list_(pa.float64()))
+    try:
+        list_column_to_matrix(ragged)
+    except ValueError:
+        pass  # numpy object coercion may raise; uniform inputs never hit this
+    assert list_column_to_matrix(pa.array([], pa.list_(pa.float32()))).shape \
+        == (0, 0)

@@ -26,6 +26,35 @@ def test_language_id(ray_session):
     assert out["lang_pred"].tolist() == ["en", "es", "de", "und"]
 
 
+def test_repetition_scores(ray_session):
+    """Repetition signals against hand-computed values, including the
+    degenerate edges (empty text, single token, all-same tokens)."""
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.stages.text_analysis import repetition
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "a b a b a b",        # top a: 3/6; bigrams: ab ba ab ba ab → 2 distinct / 5
+            "x x x x",            # top 4/4=1.0; bigram xx 1 distinct / 3
+            "all tokens unique here now",  # 1/5; 4 distinct / 4
+            "",                   # no tokens
+            "solo",               # 1 token, no bigrams
+        ],
+    })
+    out = repetition(rd.from_pandas(df)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert np.allclose(out["top_token_frac"],
+                       [0.5, 1.0, 0.2, 0.0, 1.0])
+    assert np.allclose(out["dup_2gram_frac"],
+                       [1 - 2 / 5, 1 - 1 / 3, 0.0, 0.0, 0.0])
+    # stable under repartitioning (batch-boundary independence)
+    out2 = repetition(rd.from_pandas(df).repartition(4)).to_pandas(
+    ).sort_values("doc_id").reset_index(drop=True)
+    assert out.equals(out2)
+
+
 def test_token_count_modes(ray_session):
     import ray.data as rd
 
