@@ -66,6 +66,24 @@ def hash_u64_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return x
 
 
+def hash_u64_pairs_inplace(acc: np.ndarray, b: np.ndarray,
+                           tmp: np.ndarray) -> None:
+    """``acc[:] = hash_u64_pairs(acc, b)`` with zero allocations
+    (``tmp`` is caller-provided scratch of the same shape/dtype) — the
+    rolling-shingle combine otherwise allocates ~4 full-size
+    temporaries per round."""
+    np.multiply(acc, np.uint64(0x9E3779B97F4A7C15), out=acc)
+    np.add(acc, b, out=acc)
+    np.right_shift(acc, np.uint64(30), out=tmp)
+    np.bitwise_xor(acc, tmp, out=acc)
+    np.multiply(acc, np.uint64(0xBF58476D1CE4E5B9), out=acc)
+    np.right_shift(acc, np.uint64(27), out=tmp)
+    np.bitwise_xor(acc, tmp, out=acc)
+    np.multiply(acc, np.uint64(0x94D049BB133111EB), out=acc)
+    np.right_shift(acc, np.uint64(31), out=tmp)
+    np.bitwise_xor(acc, tmp, out=acc)
+
+
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """SplitMix64 finalizer over a uint64 array (stateless, vectorized)."""
     x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)

@@ -15,7 +15,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from .hashing import hash_str_array, hash_u64_pairs, splitmix64, stable_rng
+from .hashing import (hash_str_array, hash_u64_pairs,
+                      hash_u64_pairs_inplace, splitmix64, stable_rng)
 from .textnorm import tokenize
 
 # ---- vectorized byte-level tokenizer + rolling hash -----------------------
@@ -63,22 +64,46 @@ def _pow_series(base: np.uint64, n: int, out: np.ndarray | None = None) -> np.nd
     return p
 
 
-def token_hashes_from_texts(
-    texts: list[str],
-) -> tuple[np.ndarray, np.ndarray]:
-    """64-bit hash per \\w+ token of each casefolded text, vectorized.
+# reusable per-process scratch: the hot path otherwise allocates ~50
+# bytes of fresh uint64 temporaries per input byte — large numpy allocs
+# are mmap'd and munmap'd every call (kernel page-fault churn, measured
+# 60x first-call inflation under host memory pressure), and the dense
+# temporaries stream DRAM instead of staying cache-resident. Workers
+# execute one map_batches task at a time, so a module-level scratch is
+# safe per process.
+_SCRATCH: dict[str, np.ndarray] = {}
 
-    Returns ``(flat_token_hashes: uint64[N], tok_counts: int64[n])``.
-    The only per-doc Python work is ``casefold().encode()``.
-    """
-    n = len(texts)
-    bufs = [(t or "").casefold().encode("utf-8") for t in texts]
+# joined-text chunk target: all per-byte temporaries (~50 B/byte) for a
+# 256 KB chunk fit in a per-core L2, so DRAM sees only the input bytes
+# and the per-token outputs even with 32 concurrent workers
+_CHUNK_BYTES = 256 * 1024
+
+
+def _scratch(name: str, size: int, dtype) -> np.ndarray:
+    buf = _SCRATCH.get(name)
+    if buf is None or buf.size < size:
+        buf = np.empty(max(size, _CHUNK_BYTES + 2), dtype=dtype)
+        _SCRATCH[name] = buf
+    return buf[:size]
+
+
+def _token_hashes_chunk(bufs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Token hashes + per-doc counts for one doc-group chunk.
+
+    The polynomial closed form ``B^e · (S[e] − S[s])`` telescopes to
+    content-relative weights, so hashes are independent of absolute
+    position — chunking by doc groups is exact."""
+    nb = len(bufs)
     # single space separators force token breaks at doc boundaries
     joined = b" ".join(bufs) + b" "
     arr = np.frombuffer(joined, dtype=np.uint8)
-    mask = _WORD_BYTE[arr]
-    m8 = mask.astype(np.int8)
-    d = np.diff(m8)
+    N = len(arr)
+    mask = _scratch("mask", N, bool)
+    np.take(_WORD_BYTE, arr, out=mask)
+    m8 = _scratch("m8", N, np.int8)
+    np.copyto(m8, mask)
+    d = _scratch("d", N - 1, np.int8)
+    np.subtract(m8[1:], m8[:-1], out=d)
     starts = np.flatnonzero(d == 1) + 1
     ends = np.flatnonzero(d == -1) + 1
     if mask[0]:
@@ -86,24 +111,58 @@ def token_hashes_from_texts(
     # trailing space guarantees mask[-1] is False → ends covers all runs
 
     # prefix machinery: S[i] = sum_{j<i} (a[j]+1) * BINV^(j+1)
-    N = len(arr)
-    binv_pows = _pow_series(_BINV, N)                     # BINV^(i+1)
-    b_pows = np.empty(N + 1, dtype=np.uint64)
+    binv_pows = _scratch("binv", N, np.uint64)
+    _pow_series(_BINV, N, out=binv_pows)                  # BINV^(i+1)
+    b_pows = _scratch("bpow", N + 1, np.uint64)
     b_pows[0] = np.uint64(1)
     _pow_series(_B, N, out=b_pows[1:])                    # B^i
-    terms = (arr.astype(np.uint64) + np.uint64(1)) * binv_pows
-    S = np.zeros(N + 1, dtype=np.uint64)
+    terms = _scratch("terms", N, np.uint64)
+    np.copyto(terms, arr)                                 # u8 → u64 cast
+    np.add(terms, np.uint64(1), out=terms)
+    np.multiply(terms, binv_pows, out=terms)
+    S = _scratch("S", N + 1, np.uint64)
+    S[0] = np.uint64(0)
     np.cumsum(terms, out=S[1:])                           # wraps mod 2^64
     tok_hash = splitmix64(b_pows[ends] * (S[ends] - S[starts]))
 
     # doc ownership of each token: doc d spans bytes
     # [doc_start[d], doc_start[d] + len(bufs[d]))
-    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
-    doc_starts = np.zeros(n + 1, dtype=np.int64)
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=nb)
+    doc_starts = np.zeros(nb + 1, dtype=np.int64)
     np.cumsum(lens + 1, out=doc_starts[1:])               # +1 separators
     doc_of_token = np.searchsorted(doc_starts[1:], starts, side="right")
-    tok_counts = np.bincount(doc_of_token, minlength=n).astype(np.int64)
+    tok_counts = np.bincount(doc_of_token, minlength=nb).astype(np.int64)
     return tok_hash, tok_counts
+
+
+def token_hashes_from_texts(
+    texts: list[str],
+) -> tuple[np.ndarray, np.ndarray]:
+    """64-bit hash per \\w+ token of each casefolded text, vectorized.
+
+    Returns ``(flat_token_hashes: uint64[N], tok_counts: int64[n])``.
+    The only per-doc Python work is ``casefold().encode()``. Processes
+    doc groups in L2-sized chunks over reused scratch buffers (see
+    ``_SCRATCH``); results are byte-identical to a single-pass run.
+    """
+    n = len(texts)
+    bufs = [(t or "").casefold().encode("utf-8") for t in texts]
+    tok_counts = np.zeros(n, dtype=np.int64)
+    th_parts: list[np.ndarray] = []
+    d0 = 0
+    while d0 < n:
+        d1, size = d0, 0
+        while d1 < n and (size == 0 or size + len(bufs[d1]) + 1
+                          <= _CHUNK_BYTES):
+            size += len(bufs[d1]) + 1
+            d1 += 1
+        th, counts = _token_hashes_chunk(bufs[d0:d1])
+        th_parts.append(th)
+        tok_counts[d0:d1] = counts
+        d0 = d1
+    if not th_parts:
+        return np.empty(0, dtype=np.uint64), tok_counts
+    return np.concatenate(th_parts), tok_counts
 
 
 def shingle_doc_hashes(
@@ -126,11 +185,14 @@ def shingle_doc_hashes(
         total = len(th)
         if total >= k:
             # rolling combine of k consecutive token hashes over the flat
-            # array; then mask out windows that cross a doc boundary
+            # array (in-place over scratch — no per-round temporaries);
+            # then mask out windows that cross a doc boundary
             m = total - k + 1
-            acc = th[:m].copy()
+            acc = _scratch("sh_acc", m, np.uint64)
+            np.copyto(acc, th[:m])
+            tmp = _scratch("sh_tmp", m, np.uint64)
             for j in range(1, k):
-                acc = hash_u64_pairs(acc, th[j : m + j])
+                hash_u64_pairs_inplace(acc, th[j : m + j], tmp)
             pos_doc = np.repeat(np.arange(n, dtype=np.int64), tok_counts)
             valid = pos_doc[:m] == pos_doc[k - 1 :]
             sh = acc[valid]
