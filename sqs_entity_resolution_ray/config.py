@@ -143,6 +143,17 @@ def partitions_for(n_rows: int, cfg: PipelineConfig,
     return min(effective_partitions(cfg), need)
 
 
+def bucket_partitions(cfg: PipelineConfig | None, default: int = 64) -> int:
+    """Partition count for bucketed shuffles (LSH bands, simhash chunks,
+    hyperplane buckets, url upsert): ``cfg.shuffle_partitions`` always
+    wins — ONE knob controls every bucketed shuffle — else the module
+    default (sized for the single-node benchmark; raise toward 256+ at
+    ~10^9+ bucket rows so each partition stays ≤ a few hundred MB)."""
+    if cfg is not None and cfg.shuffle_partitions is not None:
+        return cfg.shuffle_partitions
+    return default
+
+
 def effective_concurrency(cfg: PipelineConfig) -> int:
     """Actor-pool size for stateful stages: explicit, else cpus//4∈[1,8]."""
     if cfg.scorer_concurrency is not None:

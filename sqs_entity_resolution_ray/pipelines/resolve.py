@@ -79,7 +79,7 @@ def build_profiles(pages, match_cfg: MatchConfig, cfg: PipelineConfig,
         batch_format="pyarrow",
         batch_size=cfg.signature_batch_size,
     )
-    return dedup_profiles_by_url(profiles)
+    return dedup_profiles_by_url(profiles, cfg)
 
 
 @dataclass

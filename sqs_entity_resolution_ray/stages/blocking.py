@@ -36,14 +36,15 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..config import MatchConfig, PipelineConfig
+from ..config import bucket_partitions, MatchConfig, PipelineConfig, partitions_for
 
-# partition count for the band shuffle (each partition is scanned by one
-# task). 64 is sized for this single-node benchmark: 24-byte band rows ×
-# ~10^8 rows / 64 ≈ tens of MB per partition, and fewer partitions keep
-# the per-task fixed cost low at small scale. At ~10^9+ band rows raise
-# toward 256+ (≤ a few hundred MB per partition) via
-# PipelineConfig.shuffle_partitions.
+# default partition count for the band shuffle (each partition is
+# scanned by one task). 64 is sized for this single-node benchmark:
+# 24-byte band rows × ~10^8 rows / 64 ≈ tens of MB per partition, and
+# fewer partitions keep the per-task fixed cost low at small scale. At
+# ~10^9+ band rows raise toward 256+ (≤ a few hundred MB per partition)
+# via PipelineConfig.shuffle_partitions — every bucketed shuffle in the
+# repo resolves its count through config.bucket_partitions(cfg, this).
 BAND_PARTITIONS = 64
 
 _EMPTY_PAIRS = pa.table(
@@ -160,23 +161,36 @@ class PartitionPairEnumerator:
 
 def candidate_pairs(profiles, match_cfg: MatchConfig, cfg: PipelineConfig):
     """profiles → deduped candidate pair Dataset (uid_a, uid_b, block_size)."""
+    n_bucket = bucket_partitions(cfg, BAND_PARTITIONS)
     bands = profiles.map_batches(
         emit_band_rows,
         batch_format="pyarrow",
-        fn_kwargs={"lsh_bands": match_cfg.lsh_bands},
+        fn_kwargs={"lsh_bands": match_cfg.lsh_bands, "num_parts": n_bucket},
     )
     enumerator = PartitionPairEnumerator(cfg, match_cfg.lsh_bands)
 
     def enumerate_partition(group: pa.Table) -> pa.Table:
         return enumerator(group)
 
-    raw_pairs = bands.groupby("part", num_partitions=BAND_PARTITIONS).map_groups(
+    raw_pairs = bands.groupby("part", num_partitions=n_bucket).map_groups(
         enumerate_partition, batch_format="pyarrow"
     )
     # a pair that collides in k bands is emitted k times → dedup (keep
-    # the max block_size observed, for the skew metrics)
+    # the max block_size observed, for the skew metrics). Pair keys are
+    # mostly unique so the per-batch combiner cannot compress — size the
+    # reduce side by DATA (band-row count bounds the pair count order of
+    # magnitude), never a fixed constant that funnels 10^9+ pairs
+    # through 16 reducers.
     from .agg import hash_aggregate
 
+    try:  # profiles is materialized by the pipeline → count is cheap
+        n_band_rows = profiles.count() * match_cfg.lsh_bands
+        pair_parts = partitions_for(n_band_rows, cfg)
+    except Exception:
+        from ..config import effective_partitions
+
+        pair_parts = effective_partitions(cfg)
     return hash_aggregate(
-        raw_pairs, ["uid_a", "uid_b"], {"block_size": ("block_size", "max")}
+        raw_pairs, ["uid_a", "uid_b"], {"block_size": ("block_size", "max")},
+        num_partitions=pair_parts,
     )

@@ -15,7 +15,12 @@ Two execution paths, same semantics:
   that don't fit the driver.
 - ``driver``: union-find on collected edges — O(E α(E)), used
   automatically when the edge count is small (the common case after
-  LSH + scoring, where edges ≈ matched near-dup pairs only).
+  LSH + scoring, where edges ≈ matched near-dup pairs only). Only the
+  EDGE ENDPOINTS (≤ 2·edges keys) ever reach the driver; the node set
+  itself — at web scale ~every document, mostly singletons — is labeled
+  in place by a stateless ``map_batches`` (label = own node id unless
+  the node is an edge endpoint), so the driver path is valid at ANY
+  corpus size whenever the edge count is small.
 """
 
 from __future__ import annotations
@@ -23,7 +28,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import ray.data as rd
 
 from ..config import effective_concurrency, effective_partitions, PipelineConfig
 from ..functions.hashing import hash_str_array  # noqa: F401 (used via node_ids)
@@ -94,19 +98,51 @@ def connected_components(
         algorithm = "driver" if edge_count <= DRIVER_CC_MAX_EDGES else "distributed"
 
     if algorithm == "driver":
-        nodes_df = nodes.select_columns(["url"]).to_pandas()
-        nodes_df["node_id"] = node_ids(nodes_df["url"].tolist())
-        edges_df = (
-            edges.select_columns(["url_a", "url_b"]).to_pandas()
-            if edge_count
-            else pd.DataFrame({"url_a": [], "url_b": []})
+        import ray
+
+        # Union-find over EDGE ENDPOINTS only (≤ 2·edges keys collected —
+        # never the node set: at web scale nodes ≈ every document while
+        # edges ≈ the few matched pairs). Assumes edge endpoints are
+        # drawn from ``nodes`` (true for every caller: both sides come
+        # from the same profile/id table).
+        if edge_count:
+            edges_df = edges.select_columns(["url_a", "url_b"]).to_pandas()
+            endpoints = pd.unique(
+                pd.concat([edges_df["url_a"], edges_df["url_b"]],
+                          ignore_index=True)
+            )
+            ep_df = pd.DataFrame({"url": endpoints})
+            ep_df["node_id"] = node_ids(list(endpoints))
+            labeled = _driver_union_find(ep_df, edges_df)  # ep_df row order
+            ep_ids = ep_df["node_id"].to_numpy()
+            order = np.argsort(ep_ids)
+            ref = ray.put((
+                ep_ids[order],
+                labeled["label"].to_numpy().astype(np.int64)[order],
+            ))
+        else:
+            ref = ray.put((np.empty(0, np.int64), np.empty(0, np.int64)))
+
+        def attach_labels(batch: pa.Table) -> pa.Table:
+            """Stateless distributed labeling: endpoint nodes gather their
+            component label from the broadcast map; singletons (the vast
+            majority) keep label = own node id without leaving the
+            cluster."""
+            ep_s, lab_s = ray.get(ref)
+            col = batch.column("url")
+            ids = node_ids(col.to_pylist())
+            labels = ids.copy()
+            if len(ep_s):
+                idx = np.minimum(np.searchsorted(ep_s, ids), len(ep_s) - 1)
+                hit = ep_s[idx] == ids
+                labels[hit] = lab_s[idx[hit]]
+            return pa.table(
+                {"url": col, "label": pa.array(labels, pa.int64())}
+            )
+
+        return nodes.select_columns(["url"]).map_batches(
+            attach_labels, batch_format="pyarrow"
         )
-        out = _driver_union_find(nodes_df, edges_df)
-        out["label"] = out["label"].astype(np.int64)
-        # split into parallel blocks — a single-block labels dataset
-        # serializes every downstream map (size attach, report joins)
-        n_blocks = max(2, len(out) // 65536)
-        return rd.from_pandas(out).repartition(min(n_blocks, 64))
 
     return _distributed_cc(nodes, edges, cfg)
 

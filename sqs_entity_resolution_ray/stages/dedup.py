@@ -22,7 +22,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from ..config import MatchConfig, PipelineConfig, effective_partitions
+from ..config import (
+    bucket_partitions,
+    effective_partitions,
+    MatchConfig,
+    PipelineConfig,
+)
 from ..functions.arrays import list_column_to_matrix
 from ..functions.hashing import hash_str_array, stable_rng
 from ..functions.minhash import (
@@ -198,6 +203,7 @@ def _sketch_pairs(sketches: rd.Dataset, mc: MatchConfig,
     from .blocking import BAND_PARTITIONS, _pairs_for_block
 
     lsh_bands = mc.lsh_bands
+    n_bucket = bucket_partitions(cfg, BAND_PARTITIONS)
 
     def emit(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -207,7 +213,7 @@ def _sketch_pairs(sketches: rd.Dataset, mc: MatchConfig,
         idx = np.repeat(np.arange(n), lsh_bands)
         return pa.table(
             {
-                "part": pa.array((keys % np.uint64(BAND_PARTITIONS)).astype(np.int64), pa.int64()),
+                "part": pa.array((keys % np.uint64(n_bucket)).astype(np.int64), pa.int64()),
                 "band_key": pa.array(keys, pa.uint64()),
                 "doc_id": batch.column("doc_id").take(pa.array(idx)),
                 "sig": batch.column("sig").take(pa.array(idx)),
@@ -264,7 +270,7 @@ def _sketch_pairs(sketches: rd.Dataset, mc: MatchConfig,
             "sig_b": pa.array([sig_of[i] for i in out_b], pa.binary()),
         })
 
-    return band_rows.groupby("part", num_partitions=BAND_PARTITIONS).map_groups(
+    return band_rows.groupby("part", num_partitions=n_bucket).map_groups(
         pairs_in_partition, batch_format="pyarrow"
     )
 
@@ -282,6 +288,8 @@ def simhash_dedup(ds: rd.Dataset, text_col: str = "text",
 
     from .blocking import BAND_PARTITIONS
 
+    n_bucket = bucket_partitions(cfg, BAND_PARTITIONS)
+
     def emit(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         sh = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -293,7 +301,7 @@ def simhash_dedup(ds: rd.Dataset, text_col: str = "text",
         idx = np.tile(np.arange(n), 4)
         return pa.table(
             {
-                "part": pa.array((allk % np.uint64(BAND_PARTITIONS)).astype(np.int64), pa.int64()),
+                "part": pa.array((allk % np.uint64(n_bucket)).astype(np.int64), pa.int64()),
                 "bucket": pa.array(allk, pa.uint64()),
                 "doc_id": batch.column("doc_id").take(pa.array(idx)),
                 "simhash": batch.column("simhash").take(pa.array(idx)),
@@ -339,7 +347,7 @@ def simhash_dedup(ds: rd.Dataset, text_col: str = "text",
         return pa.table({"doc_id_a": pa.array(out_a, pa.string()),
                          "doc_id_b": pa.array(out_b, pa.string())})
 
-    pairs = buckets.groupby("part", num_partitions=64).map_groups(
+    pairs = buckets.groupby("part", num_partitions=n_bucket).map_groups(
         pairs_in_partition, batch_format="pyarrow"
     )
     # pairs can repeat across chunks → CC handles duplicates harmlessly
@@ -471,6 +479,9 @@ def embedding_dedup(ds: rd.Dataset, emb_col: str = "embedding",
     rng = stable_rng(f"embdedup-{seed}")
     n_sets = 4
 
+    from .blocking import BAND_PARTITIONS
+
+    n_bucket = bucket_partitions(cfg, BAND_PARTITIONS)
     first = ds.take(1)
     dim = len(first[0][emb_col])
     planes = rng.standard_normal((n_sets, n_planes, dim)).astype(np.float32)
@@ -491,11 +502,9 @@ def embedding_dedup(ds: rd.Dataset, emb_col: str = "embedding",
             out_idx.append(np.arange(n))
         idx = np.concatenate(out_idx)
         allb = np.concatenate(out_bucket)
-        from .blocking import BAND_PARTITIONS
-
         return pa.table(
             {
-                "part": pa.array((allb % np.uint64(BAND_PARTITIONS)).astype(np.int64), pa.int64()),
+                "part": pa.array((allb % np.uint64(n_bucket)).astype(np.int64), pa.int64()),
                 "bucket": pa.array(allb, pa.uint64()),
                 "vec_id": ids.take(pa.array(idx)),
                 "embedding": batch.column(emb_col).take(pa.array(idx)),
@@ -545,7 +554,7 @@ def embedding_dedup(ds: rd.Dataset, emb_col: str = "embedding",
             "doc_id_b": pa.array(out_b, pa.string()),
         })
 
-    pairs = buckets.groupby("part", num_partitions=64).map_groups(
+    pairs = buckets.groupby("part", num_partitions=n_bucket).map_groups(
         pairs_in_partition, batch_format="pyarrow"
     )
     ids_ds = ds.map_batches(

@@ -99,7 +99,7 @@ class ProfileBatch:
         )
 
 
-def dedup_profiles_by_url(profiles):
+def dedup_profiles_by_url(profiles, cfg=None):
     """Input upsert semantics: per url keep the max-``warc_ts`` row.
 
     The reference's ``add_record`` with an existing (DATA_SOURCE,
@@ -109,7 +109,9 @@ def dedup_profiles_by_url(profiles):
     """
     import pandas as pd
 
-    num_parts = 64
+    from ..config import bucket_partitions
+
+    num_parts = bucket_partitions(cfg, 64)
 
     def local_dedup(df: pd.DataFrame) -> pa.Table:
         # within-batch dedup first (combiner: most dup urls land in the

@@ -15,6 +15,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from ..config import bucket_partitions, DEFAULT_PIPELINE, partitions_for, PipelineConfig
 from .agg import hash_aggregate
 
 
@@ -24,12 +25,20 @@ def tumbling_window_agg(
     ts_col: str = "ts",
     value_col: str = "value",
     window: str = "1h",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
+    cfg: PipelineConfig | None = None,
 ) -> rd.Dataset:
     """count + sum(value) per (key, tumbling window).
 
     Returns (key, window_start: timestamp[us], n_events, sum_value).
+    ``num_partitions=None`` sizes the reduce shuffle by DATA
+    (``partitions_for(events.count())`` — cheap parquet-metadata count
+    for the usual raw-read input), never a fixed constant: (key, window)
+    keys are mostly unique, so the combiner cannot compress and nearly
+    the full row count crosses the reduce shuffle.
     """
+    if num_partitions is None:
+        num_partitions = partitions_for(events.count(), cfg or DEFAULT_PIPELINE)
     freq = window
 
     def assign(batch: pd.DataFrame) -> pa.Table:
@@ -51,7 +60,8 @@ def session_windows(
     key_col: str = "user_id",
     ts_col: str = "ts",
     gap: str = "30min",
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
+    cfg: PipelineConfig | None = None,
 ) -> rd.Dataset:
     """Session windows per key (gap-based), partition-level: keys are
     hash-bucketed so ONE ``map_groups`` call sessionizes a whole
@@ -63,10 +73,14 @@ def session_windows(
     together beyond a partition.
 
     Returns (key, session_start, session_end, n_events).
+    ``num_partitions=None`` → ``bucket_partitions(cfg)`` (the one config
+    knob for every bucketed shuffle).
     """
     import numpy as np
     import pyarrow as pa
 
+    if num_partitions is None:
+        num_partitions = bucket_partitions(cfg or DEFAULT_PIPELINE)
     gap_td = pd.Timedelta(gap)
 
     def assign_part(batch: pd.DataFrame) -> pa.Table:
@@ -105,7 +119,8 @@ def rolling_window(
     out_col: str = "roll_avg",
     id_cols: list[str] | None = None,
     round_to: int | None = 6,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
+    cfg: PipelineConfig | None = None,
 ) -> rd.Dataset:
     """Per-key rolling mean over the last ``window_rows`` rows ordered by
     ``ts_col`` — SQL ``AVG(value) OVER (PARTITION BY key ORDER BY ts
@@ -121,6 +136,8 @@ def rolling_window(
     """
     import numpy as np
 
+    if num_partitions is None:
+        num_partitions = bucket_partitions(cfg or DEFAULT_PIPELINE)
     id_cols = list(id_cols or [])
     keep = [key_col, ts_col, value_col] + id_cols
 

@@ -135,3 +135,42 @@ def test_ngram_dedup_join_path_matches_broadcast(docs, ray_session, monkeypatch)
     b = broadcast.sort_values("doc_id").reset_index(drop=True)
     j = joined.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(b, j)
+
+
+def test_shuffle_partitions_knob_invariance(docs, ray_session):
+    """PipelineConfig.shuffle_partitions is the ONE knob for every
+    bucketed shuffle (round-3 VERDICT #4): results are identical at
+    non-default values (8 and 128)."""
+    from sqs_entity_resolution_ray.config import PipelineConfig
+    from sqs_entity_resolution_ray.stages.dedup import minhash_dedup
+
+    ds, df, truth = docs
+    base = minhash_dedup(ds, threshold=0.7).to_pandas()
+    for n in (8, 128):
+        cfg = PipelineConfig(shuffle_partitions=n)
+        out = minhash_dedup(ds, threshold=0.7, cfg=cfg).to_pandas()
+        b = base.sort_values("doc_id").reset_index(drop=True)
+        o = out.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(b, o)
+
+
+def test_partition_sizing_scales_with_rows(monkeypatch):
+    """partitions_for grows with the row count (until the CPU cap) and
+    an explicit shuffle_partitions always wins (round-3 VERDICT #3)."""
+    from sqs_entity_resolution_ray import config as cfgmod
+    from sqs_entity_resolution_ray.config import (
+        bucket_partitions,
+        partitions_for,
+        PipelineConfig,
+    )
+
+    monkeypatch.setattr(cfgmod, "_cluster_cpus", lambda: 256)
+    cfg = PipelineConfig()
+    small = partitions_for(100_000, cfg)
+    big = partitions_for(10_000_000, cfg)
+    assert small < big
+    assert big == 50  # 10M rows / 200k rows-per-partition
+    assert partitions_for(10_000_000, PipelineConfig(shuffle_partitions=128)) == 128
+    assert bucket_partitions(PipelineConfig(), 64) == 64
+    assert bucket_partitions(PipelineConfig(shuffle_partitions=8), 64) == 8
+    assert bucket_partitions(None, 64) == 64

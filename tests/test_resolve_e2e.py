@@ -134,3 +134,51 @@ def test_doc_derived_corpus_truth(ray_session):
             assert any(
                 j3(texts[doc], texts[o]) >= 0.5 for o in docs if o != doc
             ), f"doc {doc} merged without near-dup evidence: {docs}"
+
+def test_driver_cc_collects_only_edge_endpoints(ray_session, monkeypatch):
+    """The auto-selected driver CC path must never pull the node set to
+    the driver (round-3 VERDICT #1): at web scale nodes ≈ every doc while
+    edges are few. Spy on Dataset.to_pandas during the call and assert
+    only edge-sized collections happen; labels still match union-find
+    semantics (components labeled by min node id, singletons by own id).
+    """
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.stages.clustering import (
+        connected_components,
+        node_ids,
+    )
+
+    n = 5000
+    nodes = rd.from_pandas(pd.DataFrame({"url": [f"u{i}" for i in range(n)]}))
+    edges_df = pd.DataFrame(
+        {"url_a": ["u1", "u2", "u10"], "url_b": ["u2", "u3", "u11"]}
+    )
+    edges = rd.from_pandas(edges_df)
+
+    collected = []
+    orig = rd.Dataset.to_pandas
+
+    def spy(self, *a, **k):
+        df = orig(self, *a, **k)
+        collected.append(len(df))
+        return df
+
+    monkeypatch.setattr(rd.Dataset, "to_pandas", spy)
+    labels_ds = connected_components(nodes, edges, algorithm="auto")
+    monkeypatch.undo()
+
+    assert collected, "driver path should collect the (tiny) edge list"
+    assert max(collected) <= 2 * len(edges_df), collected
+
+    labels = labels_ds.to_pandas()
+    assert len(labels) == n
+    lab = labels.set_index("url")["label"]
+    # clustered nodes share the min member node id as label
+    for group in (["u1", "u2", "u3"], ["u10", "u11"]):
+        ids = node_ids(group)
+        assert set(lab[g] for g in group) == {ids.min()}
+    # singletons keep their own node id
+    singles = [f"u{i}" for i in (0, 4, 100, 4999)]
+    assert (lab[singles].to_numpy() == node_ids(singles)).all()
+    assert labels["label"].nunique() == n - 5 + 2
