@@ -52,6 +52,25 @@ def q_resolve_pages(sf_dir: str):
     return art.clusters.to_pandas().sort_values("url").reset_index(drop=True)
 
 
+def q_block_stats(sf_dir: str):
+    """Skew observability (rows-only): LSH block-size distribution, split
+    count and dropped-pair count over the flagship corpus — surfaces the
+    explicit skew handling (salted chunking + pair caps) the north rule
+    demands. One summary row with a stable schema."""
+    from sqs_entity_resolution_ray.config import MatchConfig, PipelineConfig
+    from sqs_entity_resolution_ray.pipelines.resolve import (
+        build_profiles,
+        read_pages,
+    )
+    from sqs_entity_resolution_ray.sources.corpus import pages_from_documents
+    from sqs_entity_resolution_ray.stages.blocking import block_stats
+
+    d = pages_from_documents(sf_dir)
+    mc, cfg = MatchConfig(), PipelineConfig()
+    profiles = build_profiles(read_pages(d + "/pages"), mc, cfg)
+    return block_stats(profiles, mc, cfg).to_pandas()
+
+
 def q_exact_dedup(sf_dir: str):
     from sqs_entity_resolution_ray.stages.dedup import exact_dedup
 
@@ -112,15 +131,15 @@ def _query_vectors(sf_dir: str, modulus: int = 100):
     return ds, qdf
 
 
-def q_ann_topk(sf_dir: str):
-    """Brute-force cosine top-5 for every vec_id % 100 == 0 query.
-    Returns (query_id, neighbor_id) pairs — rank/sim omitted so the
-    comparison is float-precision-robust at the set level."""
+def _ann_topk(sf_dir: str, modulus: int = 100):
+    """Brute-force cosine top-5 for every vec_id % modulus == 0 query
+    (modulus parameterizes the query-set size — bench runs a 4x set to
+    evidence the vectorized-across-queries top-k)."""
     import numpy as np
 
     from sqs_entity_resolution_ray.stages.similarity import ann_topk_bruteforce
 
-    ds, qdf = _query_vectors(sf_dir)
+    ds, qdf = _query_vectors(sf_dir, modulus=modulus)
     out = ann_topk_bruteforce(
         ds,
         qdf["vec_id"].to_numpy(),
@@ -131,6 +150,13 @@ def q_ann_topk(sf_dir: str):
     return out[["query_id", "neighbor_id"]].sort_values(
         ["query_id", "neighbor_id"]
     ).reset_index(drop=True)
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-5 for every vec_id % 100 == 0 query.
+    Returns (query_id, neighbor_id) pairs — rank/sim omitted so the
+    comparison is float-precision-robust at the set level."""
+    return _ann_topk(sf_dir, modulus=100)
 
 
 def q_ann_topk_ivf(sf_dir: str):
@@ -546,15 +572,18 @@ def q_price_quantiles(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    """Multimodal actor-pool plumbing (rows-only: codecs are stubbed in
-    this environment — deterministic fake keyed on payload bytes; the
-    real branch is decoder-injectable, tests/test_text_analysis.py)."""
+    """Multimodal actor-pool plumbing (rows-only): image rows carry REAL
+    uncompressed-BMP payloads decoded by the pure-Python builtin branch
+    (stages/multimodal.decode_bmp — no codec library needed); non-image
+    payloads fall to the deterministic fake, labeled per row in the
+    ``backend`` column. Compressed formats (PNG/JPEG) still need PIL on
+    a real cluster."""
     import ray.data as rd
 
     from sqs_entity_resolution_ray.stages.multimodal import (
         decode_images, synthetic_media)
 
-    media = rd.from_arrow(synthetic_media(n=96, seed=13))
+    media = rd.from_arrow(synthetic_media(n=96, seed=13, real_payloads=True))
     out = decode_images(media, batch_size=32).to_pandas()
     out["features"] = out["features"].astype(str)
     return out.sort_values("media_id").reset_index(drop=True)
@@ -688,6 +717,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "resolve_pages": q_resolve_pages,
+        "block_stats": q_block_stats,
         "entity_report": q_entity_report,
         "records_er": q_records_er,
         "exact_dedup": q_exact_dedup,
@@ -942,28 +972,31 @@ def oracle_sql() -> dict[str, str]:
             "  ) DESC, b.vec_id) <= 5"
         ),
         "token_count": (
-            "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "
-            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END "
+            # list_filter drops the empty strings regexp_split_to_array
+            # yields for leading/trailing whitespace (DuckDB trim strips
+            # SPACES only, so '\tfoo' would otherwise count a '' token
+            # the Ray findall path never emits — ADVICE r3)
+            "SELECT doc_id, COALESCE(len(list_filter("
+            "regexp_split_to_array(text, '\\s+'), t -> t <> '')), 0) "
             "AS n_tokens FROM documents"
         ),
         "repetition": (
             # exact float64 divisions of integer counts — no rounding
             # needed for bit parity; '\s+' (RE2 ASCII) mirrors the
-            # ASCII whitespace class in stages/text_analysis._WS_RE
-            "WITH base AS (SELECT doc_id, trim(text) AS tx FROM documents), "
-            "toks AS (SELECT doc_id, "
-            "unnest(regexp_split_to_array(tx, '\\s+')) AS tok "
-            "FROM base WHERE tx <> ''), "
+            # ASCII whitespace class in stages/text_analysis._WS_RE;
+            # list_filter mirrors findall's no-empty-token guarantee for
+            # text with leading/trailing \t/\n (ADVICE r3)
+            "WITH base AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(text, '\\s+'), t -> t <> '') AS a "
+            "FROM documents), "
+            "toks AS (SELECT doc_id, unnest(a) AS tok FROM base), "
             "tc AS (SELECT doc_id, tok, count(*) AS c FROM toks "
             "GROUP BY doc_id, tok), "
             "tot AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / "
             "CAST(sum(c) AS DOUBLE) AS tf FROM tc GROUP BY doc_id), "
-            "arr AS (SELECT doc_id, "
-            "regexp_split_to_array(tx, '\\s+') AS a FROM base "
-            "WHERE tx <> ''), "
             "bg AS (SELECT doc_id, a[i] AS x, a[i + 1] AS y FROM ("
             "SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i "
-            "FROM arr WHERE len(a) >= 2)), "
+            "FROM base WHERE len(a) >= 2)), "
             "bgs AS (SELECT doc_id, 1.0 - "
             "CAST(count(DISTINCT x || ' ' || y) AS DOUBLE) / "
             "CAST(count(*) AS DOUBLE) AS df FROM bg GROUP BY doc_id) "
@@ -1063,9 +1096,10 @@ def oracle_sql() -> dict[str, str]:
         "contaminated": (
             # exact-string 8-token shingle overlap — the SQL mirror of
             # stages/curation.decontaminate (raw \s+ tokens, docs with <8
-            # tokens emit nothing).
-            "WITH toks AS (SELECT doc_id, "
-            "regexp_split_to_array(trim(text), '\\s+') AS t "
+            # tokens emit nothing). list_filter mirrors findall's
+            # no-empty-token guarantee (leading \t/\n text — ADVICE r3).
+            "WITH toks AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t "
             "FROM documents), "
             "sh AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS s "
             "FROM (SELECT doc_id, t, unnest(generate_series(1, "

@@ -220,6 +220,13 @@ def run_bench() -> dict:
             pass
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # 4x the ANN query count (modulus 25 → ~100 queries): evidence that
+    # the local top-k is vectorized ACROSS queries (round-3 VERDICT #5 —
+    # should track the 1x time, not 4x it)
+    t0 = time.perf_counter()
+    entrymod._ann_topk(SF_DIR, modulus=25)
+    timings["ann_topk_x4"] = round(time.perf_counter() - t0, 3)
+
     out = {
         "metric": "e2e_sec",
         "value": round(headline, 3),

@@ -31,7 +31,10 @@ STOPWORDS = {
 }
 
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
-_WS_TOKEN_RE = re.compile(r"\S+")
+# ASCII whitespace class, not \S+: the DuckDB oracles tokenize with RE2,
+# whose \s is exactly [\t\n\f\r ] — Python's Unicode \S would split on
+# \v / NBSP etc. where RE2 does not (see stages/curation.py _WS_RE).
+_WS_TOKEN_RE = re.compile(r"[^ \t\n\r\f]+")
 # BPE-ish pre-tokenizer: words, numbers, punctuation runs (GPT-2-style
 # coarse approximation, public pattern family)
 _BPE_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+")

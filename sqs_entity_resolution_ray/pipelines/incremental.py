@@ -159,10 +159,12 @@ def resolve_incremental(new_pages, state_dir: str,
         import ray as _ray
 
         du = _ray.get(delta_urls_ref)
+        sel = t.select(["url", "warc_ts", "simhash"])
+        if len(du) == 0:  # empty delta (profiling dropped every row):
+            return sel.slice(0, 0)  # searchsorted clamp would index du[-1]
         urls = np.asarray(t.column("url").to_pylist(), dtype=object)
         idx = np.minimum(np.searchsorted(du, urls), len(du) - 1)
-        return t.select(["url", "warc_ts", "simhash"]).filter(
-            pa.array(du[idx] == urls))
+        return sel.filter(pa.array(du[idx] == urls))
 
     sp_small = stored_profiles.map_batches(
         stored_for_delta, batch_format="pyarrow").to_pandas()

@@ -134,12 +134,23 @@ def resolve(pages, match_cfg: MatchConfig | None = None,
     match_cfg = match_cfg or MatchConfig()
     cfg = cfg or PipelineConfig()
     profiles = build_profiles(pages, match_cfg, cfg, extracted_sink).materialize()
-    # pairs are narrow (two int ids + an int): materializing them is
-    # cheap, sizes the scoring join by the true pair count, and keeps the
-    # join's aggregator actors off the enumeration shuffle's CPUs
-    pairs = candidate_pairs(profiles, match_cfg, cfg).materialize()
-    scored = score_pairs(pairs, profiles, match_cfg, cfg,
-                         n_pairs=pairs.count())
+    pairs = candidate_pairs(profiles, match_cfg, cfg)
+    from ..stages.scoring import BROADCAST_PROFILES_MAX
+
+    if profiles.count() > BROADCAST_PROFILES_MAX:
+        # join plan: pairs are narrow (two int ids + an int), so
+        # materializing is cheap, sizes the scoring join by the true
+        # pair count, and keeps the join's aggregator actors off the
+        # enumeration shuffle's CPUs
+        pairs = pairs.materialize()
+        n_pairs = pairs.count()
+    else:
+        # broadcast plan: no join to size — let pairs STREAM straight
+        # into the scorer pool (one less all-to-all barrier; the
+        # non-scalable share of barriers is what caps single-node
+        # scaling efficiency — BASELINE.md round-3 notes)
+        n_pairs = None
+    scored = score_pairs(pairs, profiles, match_cfg, cfg, n_pairs=n_pairs)
     edges = matched_edges(scored).materialize()
     nodes = profiles.select_columns(["uid"]).rename_columns({"uid": "url"})
     cc_edges = edges.rename_columns({"uid_a": "url_a", "uid_b": "url_b"})

@@ -159,6 +159,121 @@ class PartitionPairEnumerator:
         )
 
 
+def _chunked_pair_count(n: int, max_s: int, cap: int) -> int:
+    """Pairs :func:`_pairs_for_block` emits for a block of size ``n`` —
+    the same chunk walk (size ``max_s``, one overlapping member) and the
+    same ``max_pairs_per_block`` cap, as counting math."""
+    if n <= max_s:
+        return min(n * (n - 1) // 2, cap)
+    total = 0
+    s = 0
+    while s < n - 1:
+        e = min(s + max_s, n)
+        c = e - s
+        total += c * (c - 1) // 2
+        if e == n:
+            break
+        s = e - 1
+    return min(total, cap)
+
+
+class PartitionBlockStats:
+    """Skew observability (north rule: explicit skew handling must be
+    OBSERVABLE, not just implemented): per band-hash partition, block-
+    size distribution stats computed from band-key run lengths alone —
+    no pair materialization, same vectorized block detection as
+    :class:`PartitionPairEnumerator`.
+
+    Counts are per (band, block): a doc pair colliding in k bands is
+    counted in k blocks (pair dedup happens downstream of enumeration,
+    so these are the enumeration-cost numbers that matter for skew).
+    """
+
+    def __init__(self, cfg: PipelineConfig | None = None):
+        self.cfg = cfg or PipelineConfig()
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        n = group.num_rows
+        part = int(group.column("part")[0].as_py()) if n else -1
+        keys = group.column("band_key").to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        bounds = np.flatnonzero(sk[1:] != sk[:-1]) + 1
+        sizes = np.diff(np.concatenate(([0], bounds, [n])))
+        multi = sizes[sizes >= 2]
+        exact = int((multi.astype(np.int64) * (multi - 1) // 2).sum())
+        split = multi[multi > cfg.max_block_size]
+        # only split/capped blocks need the chunk walk; small blocks
+        # (the overwhelming majority) are one vectorized expression
+        emitted = int(np.minimum(
+            multi.astype(np.int64) * (multi - 1) // 2,
+            cfg.max_pairs_per_block,
+        )[multi <= cfg.max_block_size].sum())
+        emitted += sum(
+            _chunked_pair_count(int(s), cfg.max_block_size,
+                                cfg.max_pairs_per_block)
+            for s in split
+        )
+        return pa.table({
+            "part": pa.array([part], pa.int64()),
+            "n_band_rows": pa.array([n], pa.int64()),
+            "n_blocks": pa.array([len(multi)], pa.int64()),
+            "max_block_size": pa.array(
+                [int(multi.max()) if len(multi) else 0], pa.int64()),
+            "n_blocks_split": pa.array([len(split)], pa.int64()),
+            "n_pairs_exact": pa.array([exact], pa.int64()),
+            "n_pairs_emitted": pa.array([emitted], pa.int64()),
+            "n_pairs_dropped": pa.array([exact - emitted], pa.int64()),
+        })
+
+
+def block_stats(profiles, match_cfg: MatchConfig, cfg: PipelineConfig):
+    """LSH block skew metrics as a ONE-ROW summary Dataset.
+
+    Columns: n_blocks (multi-member band blocks), max_block_size,
+    n_blocks_split (blocks over ``cfg.max_block_size`` → salted
+    chunking), n_pairs_exact (all-pairs cost the skew handling avoided),
+    n_pairs_emitted (actual enumeration cost), n_pairs_dropped (pairs
+    skipped by chunking + the ``max_pairs_per_block`` cap — recall
+    spent, bounded-connectivity preserved via chunk overlap).
+    """
+    n_bucket = bucket_partitions(cfg, BAND_PARTITIONS)
+    bands = profiles.map_batches(
+        emit_band_rows,
+        batch_format="pyarrow",
+        fn_kwargs={"lsh_bands": match_cfg.lsh_bands, "num_parts": n_bucket},
+    )
+    stats = PartitionBlockStats(cfg)
+
+    def stats_in_partition(group: pa.Table) -> pa.Table:
+        return stats(group)
+
+    per_part = bands.groupby("part", num_partitions=n_bucket).map_groups(
+        stats_in_partition, batch_format="pyarrow"
+    )
+
+    def summarize(df):
+        import pandas as pd
+
+        return pd.DataFrame([{
+            "n_blocks": int(df["n_blocks"].sum()),
+            "max_block_size": int(df["max_block_size"].max()),
+            "n_blocks_split": int(df["n_blocks_split"].sum()),
+            "n_pairs_exact": int(df["n_pairs_exact"].sum()),
+            "n_pairs_emitted": int(df["n_pairs_emitted"].sum()),
+            "n_pairs_dropped": int(df["n_pairs_dropped"].sum()),
+        }])
+
+    # per-part rows are tiny (one per partition): a single final
+    # combine is not a scale concern
+    return per_part.map_batches(
+        lambda t: t.append_column("one", pa.array([1] * t.num_rows,
+                                                  pa.int64())),
+        batch_format="pyarrow",
+    ).groupby("one").map_groups(summarize, batch_format="pandas")
+
+
 def candidate_pairs(profiles, match_cfg: MatchConfig, cfg: PipelineConfig):
     """profiles → deduped candidate pair Dataset (uid_a, uid_b, block_size)."""
     n_bucket = bucket_partitions(cfg, BAND_PARTITIONS)

@@ -36,9 +36,10 @@ from ..functions.hashing import hash_str_array, hash_u64_pairs
 # ASCII whitespace class, NOT \S+: Python re is Unicode-aware while the
 # DuckDB oracles split on RE2 \s+ (ASCII by default), so \S+ here would
 # tokenize Unicode whitespace (NBSP etc.) differently and break oracle
-# parity on non-ASCII text. Matching engines explicitly keeps token
-# boundaries byte-identical between the Ray path and the SQL oracles.
-_WS_RE = re.compile(r"[^ \t\n\r\f\v]+")
+# parity on non-ASCII text. RE2's \s is exactly [\t\n\f\r ] — it does
+# NOT include \v (verified: DuckDB keeps 'a\vb' one token), so \v must
+# be a token byte here too for byte-identical engine parity (ADVICE r3).
+_WS_RE = re.compile(r"[^ \t\n\r\f]+")
 
 # ---------------------------------------------------------------------------
 # deterministic splits + sampling

@@ -45,6 +45,114 @@ MEDIA_SCHEMA = pa.schema(
 DEFAULT_MEDIA_BATCH = 64
 
 
+# ------------------------------------------------------- builtin codecs --
+# Pure-Python/stdlib decoders for container formats that need no external
+# codec library: uncompressed 24-bit BMP (struct + numpy) and PCM WAV
+# (stdlib ``wave``). These give the decode stages a REAL, pytest-covered
+# bytes→array branch in environments without PIL/soundfile; compressed
+# formats (PNG/JPEG/FLAC/MP4) still require the library backends.
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP → (H, W, 3) uint8 RGB array.
+
+    Parses the BITMAPFILEHEADER/BITMAPINFOHEADER layout directly
+    (bottom-up rows, 4-byte row padding, BGR channel order).
+    """
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    data = np.frombuffer(payload, np.uint8, count=row_size * h, offset=pix_off)
+    rows = data.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]  # stored BGR
+    return (rgb[::-1] if bottom_up else rgb).copy()
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → uncompressed 24-bit BMP bytes (the inverse
+    of :func:`decode_bmp`; used by tests and synthetic fixtures)."""
+    import struct
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.repeat(px[:, :, None], 3, axis=2)
+    h, w, _ = px.shape
+    row_size = (w * 3 + 3) & ~3
+    pad = row_size - w * 3
+    bgr = px[::-1, :, ::-1]  # bottom-up, BGR
+    body = np.zeros((h, row_size), dtype=np.uint8)
+    body[:, : w * 3] = bgr.reshape(h, w * 3)
+    data = body.tobytes()
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                      2835, 2835, 0, 0)
+    )
+    assert pad >= 0
+    return header + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV → (mono float32 samples in [-1, 1], sample_rate) via the
+    stdlib ``wave`` module (no external codec)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        rate = w.getframerate()
+        ch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 2:
+        arr = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    elif sw == 1:
+        arr = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    if ch > 1:
+        arr = arr.reshape(-1, ch).mean(axis=1)
+    return arr, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """float samples in [-1, 1] → 16-bit PCM mono WAV bytes."""
+    import io
+    import wave
+
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm16 = np.round(pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm16.tobytes())
+    return buf.getvalue()
+
+
+_WAV_MAGIC = (b"RIFF", b"WAVE")
+
+
+def _is_bmp(payload: bytes) -> bool:
+    return bool(payload) and payload[:2] == b"BM"
+
+
+def _is_wav(payload: bytes) -> bool:
+    return bool(payload) and payload[:4] == _WAV_MAGIC[0] and \
+        payload[8:12] == _WAV_MAGIC[1]
+
+
 def _fake_features(payloads: list[bytes], dim: int) -> np.ndarray:
     """Deterministic stand-in features: seeded from the payload sha256."""
     out = np.empty((len(payloads), dim), dtype=np.float32)
@@ -120,23 +228,38 @@ class ImageDecodeStage:
             self.backend = "pil"
             self._decode = _pil_decode
         except ImportError:
-            if strict:
-                raise NotImplementedError(
-                    "image decoding requires PIL; not available in this "
-                    "environment (stubbed per project constraints)"
-                )
-            self.backend = "fake"
-            self._decode = None
+            # builtin fallback: REAL pure-Python decode for uncompressed
+            # BMP payloads (decode_bmp — no codec library needed); other
+            # formats fall to the deterministic fake (or raise under
+            # strict=True). Per-row ``backend`` labels say which ran.
+            self.backend = "builtin"
+            self.strict = strict
+            self._decode = decode_bmp
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
+        n = len(payloads)
+        labels = [self.backend] * n
         if self.backend == "fake":
             feats = _fake_features(payloads, self.dim)
-            sizes = np.full((len(payloads), 2), self.target, dtype=np.int32)
+            sizes = np.full((n, 2), self.target, dtype=np.int32)
         else:
-            feats = np.empty((len(payloads), self.dim), dtype=np.float32)
-            sizes = np.empty((len(payloads), 2), dtype=np.int32)
+            feats = np.empty((n, self.dim), dtype=np.float32)
+            sizes = np.empty((n, 2), dtype=np.int32)
             for i, p in enumerate(payloads):
+                if self.backend == "builtin":
+                    if _is_bmp(p):
+                        labels[i] = "bmp"
+                    elif getattr(self, "strict", False):
+                        raise NotImplementedError(
+                            "non-BMP image decoding requires PIL; not "
+                            "available in this environment"
+                        )
+                    else:  # non-BMP payload, no codec library: fake row
+                        labels[i] = "fake"
+                        feats[i] = _fake_features([p], self.dim)[0]
+                        sizes[i] = self.target
+                        continue
                 pixels = self._decode(p)
                 resized = _mean_pool_resize(pixels, self.target)
                 feats[i] = _image_feature_vec(resized, self.dim)
@@ -144,7 +267,7 @@ class ImageDecodeStage:
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
-                "backend": pa.array([self.backend] * len(payloads), pa.string()),
+                "backend": pa.array(labels, pa.string()),
                 "width": pa.array(sizes[:, 0], pa.int32()),
                 "height": pa.array(sizes[:, 1], pa.int32()),
                 "features": pa.array(
@@ -181,27 +304,44 @@ class AudioFeatureStage:
             self.backend = "soundfile"
             self._decode = _sf_decode
         except ImportError:
-            if strict:
-                raise NotImplementedError("audio decoding requires soundfile")
-            self.backend = "fake"
-            self._decode = None
+            # builtin fallback: REAL stdlib decode for PCM WAV payloads
+            # (decode_wav); other formats fall to the deterministic fake
+            # (or raise under strict=True).
+            self.backend = "builtin"
+            self.strict = strict
+            self._decode = decode_wav
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
+        n = len(payloads)
+        labels = [self.backend] * n
         if self.backend == "fake":
             feats = _fake_features(payloads, self.dim)
-            rates = np.zeros(len(payloads), dtype=np.int32)
+            rates = np.zeros(n, dtype=np.int32)
         else:
-            feats = np.empty((len(payloads), self.dim), dtype=np.float32)
-            rates = np.empty(len(payloads), dtype=np.int32)
+            feats = np.empty((n, self.dim), dtype=np.float32)
+            rates = np.empty(n, dtype=np.int32)
             for i, p in enumerate(payloads):
+                if self.backend == "builtin":
+                    if _is_wav(p):
+                        labels[i] = "wav"
+                    elif getattr(self, "strict", False):
+                        raise NotImplementedError(
+                            "non-WAV audio decoding requires soundfile; "
+                            "not available in this environment"
+                        )
+                    else:
+                        labels[i] = "fake"
+                        feats[i] = _fake_features([p], self.dim)[0]
+                        rates[i] = 0
+                        continue
                 samples, rate = self._decode(p)
                 feats[i] = _audio_feature_vec(samples, self.dim)
                 rates[i] = rate
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
-                "backend": pa.array([self.backend] * len(payloads), pa.string()),
+                "backend": pa.array(labels, pa.string()),
                 "sample_rate": pa.array(rates, pa.int32()),
                 "features": pa.array(
                     [row.tolist() for row in feats], pa.list_(pa.float32())
@@ -285,14 +425,44 @@ def sample_frames(media: rd.Dataset, concurrency: int = 2,
     )
 
 
-def synthetic_media(n: int = 64, seed: int = 42) -> pa.Table:
-    """Deterministic fake media table matching MEDIA_SCHEMA (for tests)."""
+def synthetic_media(n: int = 64, seed: int = 42,
+                    real_payloads: bool = False) -> pa.Table:
+    """Deterministic media table matching MEDIA_SCHEMA (for tests).
+
+    ``real_payloads=True`` emits genuine container bytes — uncompressed
+    BMP images and PCM WAV audio (via :func:`encode_bmp` /
+    :func:`encode_wav`) — so the decode stages exercise their REAL
+    builtin decode branch without any codec library; False keeps the
+    legacy opaque random bytes (every row decodes via the fake branch).
+    """
     rng = np.random.default_rng(seed)
+    payloads: list[bytes] = []
+    types: list[str] = []
+    for i in range(n):
+        kind = i % 3
+        if kind == 0:
+            types.append("image/bmp" if real_payloads else "image/png")
+            if real_payloads:
+                w, h = 16 + (i % 5) * 8, 12 + (i % 3) * 8
+                payloads.append(encode_bmp(
+                    rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)))
+            else:
+                payloads.append(rng.bytes(256 + (i % 7) * 64))
+        elif kind == 1:
+            types.append("audio/wav")
+            if real_payloads:
+                t = np.arange(800 + 160 * (i % 5)) / 16000.0
+                payloads.append(encode_wav(
+                    np.sin(2 * np.pi * (220 + 20 * i) * t) * 0.5))
+            else:
+                payloads.append(rng.bytes(256 + (i % 7) * 64))
+        else:
+            types.append("video/mp4")
+            payloads.append(rng.bytes(256 + (i % 7) * 64))
     rows = {
         "media_id": [f"m{i:05d}" for i in range(n)],
-        "media_type": [("image/png", "audio/wav", "video/mp4")[i % 3]
-                       for i in range(n)],
-        "payload": [rng.bytes(256 + (i % 7) * 64) for i in range(n)],
+        "media_type": types,
+        "payload": payloads,
         "meta_width": [640] * n,
         "meta_height": [480] * n,
         "meta_duration_ms": [1000 + 100 * (i % 10) for i in range(n)],

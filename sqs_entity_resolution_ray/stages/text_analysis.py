@@ -21,9 +21,9 @@ from ..functions.textstats import (
     token_counts,
 )
 
-# ASCII whitespace class (engine parity with the RE2 '\s+' oracles —
-# see stages/curation.py _WS_RE)
-_WS_RE = re.compile(r"[^ \t\n\r\f\v]+")
+# ASCII whitespace class (engine parity with the RE2 '\s+' oracles,
+# which excludes \v — see stages/curation.py _WS_RE)
+_WS_RE = re.compile(r"[^ \t\n\r\f]+")
 
 
 def language_id(ds: rd.Dataset, text_col: str = "text",
