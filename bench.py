@@ -124,15 +124,29 @@ def _probe_sec() -> float:
 # while still rejecting contended windows by 2x+.
 QUIET_PROBE_SEC = float(os.environ.get("GRAFT_QUIET_PROBE_SEC", "1.2"))
 QUIET_WAIT_SEC = int(os.environ.get("GRAFT_QUIET_WAIT_SEC", "180"))
+# idle-loadavg gate: the single-thread probe cannot see a PARTIAL
+# co-tenant load (4-8 busy cores leave a lone probe thread unthrottled
+# but throttle a 32-worker leg ~25-50% — BASELINE.md round-3/4 notes);
+# the 1-min loadavg while THIS process is idle can. 0 disables. The
+# default tolerates our own just-finished leg's decaying contribution
+# by waiting, not by raising the threshold (the wait is untimed).
+QUIET_LOAD = float(os.environ.get("GRAFT_QUIET_LOAD", "2.5"))
 
 
-def _wait_quiet(max_wait: int = QUIET_WAIT_SEC) -> float:
+def _wait_quiet(max_wait: int = QUIET_WAIT_SEC,
+                load_gate: bool = True) -> float:
     """Wait (bounded) for a low-steal window: two consecutive nominal
-    probes. Returns seconds waited. The headline is measured either
-    way — the bracketing probes in the JSON say which case occurred."""
+    probes AND (if enabled) a sub-threshold 1-min loadavg measured while
+    this process idles. Returns seconds waited. The headline is measured
+    either way — the bracketing probes in the JSON say which case
+    occurred."""
     t0 = time.perf_counter()
     good = 0
     while time.perf_counter() - t0 < max_wait:
+        if load_gate and QUIET_LOAD > 0 and os.getloadavg()[0] >= QUIET_LOAD:
+            good = 0
+            time.sleep(10)
+            continue
         if _probe_sec() < QUIET_PROBE_SEC:
             good += 1
             if good >= 2:
@@ -165,7 +179,13 @@ def _run_headline(runs: int = HEADLINE_RUNS):
     s0, t0j = _steal_jiffies()
     probes = [_probe_sec()]
     secs = []
-    for _ in range(max(1, runs)):
+    for i in range(max(1, runs)):
+        if i > 0:
+            # re-gate between runs on the probe alone (our own previous
+            # run still dominates the 1-min loadavg here): a burst that
+            # lands between runs otherwise poisons run i and the min-of-N
+            waited += _wait_quiet(max_wait=min(90, QUIET_WAIT_SEC),
+                                  load_gate=False)
         t0 = time.perf_counter()
         art = resolve(read_pages(pages_dir))
         n_pages = art.clusters.count()
