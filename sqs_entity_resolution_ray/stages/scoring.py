@@ -35,47 +35,54 @@ BROADCAST_PROFILES_MAX = 2_000_000
 _PROFILE_COLS = ["uid", "sig", "simhash", "n_tokens", "title"]
 
 
-def attach_profiles_broadcast(pairs, profiles):
-    """Broadcast attach: profile columns as sorted numpy arrays, looked
-    up per batch with searchsorted — vectorized, shuffle-free."""
+def _broadcast_profile_arrays(profiles):
+    """profiles → ``ray.put`` ref of uid-sorted lookup arrays.
+
+    VECTORIZED driver prep: pulls Arrow blocks straight from the object
+    store (``to_arrow_refs`` — no pandas conversion) and reshapes the
+    fixed-width signature column into an (n, num_perm) u4 matrix with
+    ONE ``frombuffer``. The previous ``to_pandas`` + per-row
+    ``np.frombuffer`` Python loop was a ~25 s DRIVER-SIDE SERIAL stall
+    at 130k docs — the single largest non-scalable share in the
+    headline (BASELINE.md round-4 profile), invisible to per-stage
+    stats because it ran at graph-build time."""
     import ray
 
-    prof = profiles.select_columns(_PROFILE_COLS).to_pandas()
-    order = np.argsort(prof["uid"].to_numpy())
-    uids = prof["uid"].to_numpy()[order]
-    sig_arr = np.asarray(
-        [np.frombuffer(s, dtype="<u4") for s in prof["sig"]], dtype=np.uint32
-    )[order]
-    simhash = prof["simhash"].to_numpy()[order].astype(np.uint64)
-    n_tokens = prof["n_tokens"].to_numpy()[order].astype(np.int32)
-    titles = np.asarray(prof["title"].to_numpy(), dtype=object)[order]
-    ref = ray.put((uids, sig_arr, simhash, n_tokens, titles))
-
-    def attach(batch: pa.Table) -> pa.Table:
-        uids_, sig_, sh_, nt_, ti_ = ray.get(ref)
-        ua = batch.column("uid_a").to_numpy(zero_copy_only=False)
-        ub = batch.column("uid_b").to_numpy(zero_copy_only=False)
-        ia = np.searchsorted(uids_, ua)
-        ib = np.searchsorted(uids_, ub)
-        return pa.table(
-            {
-                "uid_a": batch.column("uid_a"),
-                "uid_b": batch.column("uid_b"),
-                "block_size": batch.column("block_size"),
-                "sig_a": pa.array([row.tobytes() for row in sig_[ia]],
-                                  pa.binary()),
-                "simhash_a": pa.array(sh_[ia], pa.uint64()),
-                "n_tokens_a": pa.array(nt_[ia], pa.int32()),
-                "title_a": pa.array(list(ti_[ia]), pa.string()),
-                "sig_b": pa.array([row.tobytes() for row in sig_[ib]],
-                                  pa.binary()),
-                "simhash_b": pa.array(sh_[ib], pa.uint64()),
-                "n_tokens_b": pa.array(nt_[ib], pa.int32()),
-                "title_b": pa.array(list(ti_[ib]), pa.string()),
-            }
-        )
-
-    return pairs.map_batches(attach, batch_format="pyarrow")
+    raw = ray.get(profiles.select_columns(_PROFILE_COLS).to_arrow_refs())
+    # despite the name, refs of pandas-format blocks (e.g. downstream of
+    # a pandas groupby partial) come back as DataFrames in ray 2.49; and
+    # EMPTY blocks carry an empty schema — drop them before projecting.
+    # Unioned inputs (incremental: stored ∪ delta profiles) can also
+    # disagree on field order / null-typing across blocks — normalize on
+    # the first non-empty block's schema before concatenating.
+    nonempty = [
+        (t if isinstance(t, pa.Table)
+         else pa.Table.from_pandas(t, preserve_index=False)).select(
+            _PROFILE_COLS)
+        for t in raw if len(t)
+    ]
+    if not nonempty:
+        tbl = pa.table(
+            {"uid": pa.array([], pa.int64()),
+             "sig": pa.array([], pa.binary()),
+             "simhash": pa.array([], pa.uint64()),
+             "n_tokens": pa.array([], pa.int32()),
+             "title": pa.array([], pa.string())})
+    else:
+        schema = nonempty[0].schema
+        tbl = pa.concat_tables([t.cast(schema) for t in nonempty])
+    uids_raw = tbl.column("uid").to_numpy()
+    order = np.argsort(uids_raw)
+    uids = uids_raw[order]
+    sig = tbl.column("sig").combine_chunks()
+    n = len(sig)
+    flat = np.frombuffer(b"".join(sig.to_pylist()), dtype="<u4")
+    sig_arr = flat.reshape(n, flat.size // max(n, 1))[order]
+    simhash = tbl.column("simhash").to_numpy().astype(np.uint64)[order]
+    n_tokens = tbl.column("n_tokens").to_numpy().astype(np.int32)[order]
+    titles = np.asarray(tbl.column("title").to_pylist(), dtype=object)[order]
+    return ray.put((uids, np.ascontiguousarray(sig_arr), simhash,
+                    n_tokens, titles))
 
 
 def attach_profiles(pairs, profiles, cfg: PipelineConfig,
@@ -106,6 +113,116 @@ def attach_profiles(pairs, profiles, cfg: PipelineConfig,
     return joined
 
 
+_EMPTY_SCORED = pa.table(
+    {
+        "uid_a": pa.array([], pa.int64()),
+        "uid_b": pa.array([], pa.int64()),
+        "est_jaccard": pa.array([], pa.float64()),
+        "simhash_hd": pa.array([], pa.int32()),
+        "len_ratio": pa.array([], pa.float64()),
+        "title_jw": pa.array([], pa.float64()),
+        "title_lev": pa.array([], pa.float64()),
+        "score": pa.array([], pa.float64()),
+        "is_match": pa.array([], pa.bool_()),
+        "block_size": pa.array([], pa.int32()),
+    }
+)
+
+
+def _score_arrays(mc: MatchConfig, uid_a, uid_b, block_size,
+                  sig_a: np.ndarray, sig_b: np.ndarray,
+                  sh_a: np.ndarray, sh_b: np.ndarray,
+                  na_raw: np.ndarray, nb_raw: np.ndarray,
+                  titles_a, titles_b) -> pa.Table:
+    """Shared vectorized scoring math (both attach plans end here).
+
+    ``titles_a``/``titles_b`` are thunks returning python lists — title
+    signals are only materialized when their weight is nonzero or a
+    borderline pair needs the Levenshtein tiebreak."""
+    ej = (sig_a == sig_b).mean(axis=1)
+    hd = hamming64(sh_a, sh_b).astype(np.int32)
+    na = na_raw.astype(np.float64)
+    nb = nb_raw.astype(np.float64)
+    len_ratio = np.minimum(na, nb) / np.maximum(np.maximum(na, nb), 1.0)
+    score = (
+        mc.w_jaccard * ej
+        + mc.w_simhash * (1.0 - hd / 64.0)
+        + mc.w_length * len_ratio
+    )
+    n = len(ej)
+    title_jw = np.zeros(n)
+    ta = tb = None
+    if mc.w_title_jw > 0:
+        ta, tb = titles_a(), titles_b()
+        title_jw = batch_jaro_winkler(ta, tb)
+        score = score + mc.w_title_jw * title_jw
+    # bounded Levenshtein on titles for BORDERLINE pairs only (the
+    # expensive O(len²) signal is computed where it can matter)
+    title_lev = np.full(n, -1.0)
+    gray = np.flatnonzero(np.abs(score - mc.threshold) < 0.15)
+    if len(gray):
+        if ta is None:
+            ta, tb = titles_a(), titles_b()
+        title_lev[gray] = batch_levenshtein_ratio(
+            [ta[i] for i in gray], [tb[i] for i in gray]
+        )
+    is_match = score >= mc.threshold
+    # short-doc guard (MatchConfig.short_doc_shingles): chrome-heavy
+    # short pages must agree strongly on content shingles
+    short = np.minimum(na, nb) < mc.short_doc_shingles
+    is_match &= ~short | (ej >= mc.short_doc_min_jaccard)
+    return pa.table(
+        {
+            "uid_a": uid_a,
+            "uid_b": uid_b,
+            "est_jaccard": pa.array(ej, pa.float64()),
+            "simhash_hd": pa.array(hd, pa.int32()),
+            "len_ratio": pa.array(len_ratio, pa.float64()),
+            "title_jw": pa.array(title_jw, pa.float64()),
+            "title_lev": pa.array(title_lev, pa.float64()),
+            "score": pa.array(score, pa.float64()),
+            "is_match": pa.array(is_match, pa.bool_()),
+            "block_size": block_size,
+        }
+    )
+
+
+class BroadcastPairScorer:
+    """Fused broadcast-attach + scorer (small/medium-corpus plan).
+
+    The uid-sorted profile arrays ship ONCE via ``ray.put`` and are
+    pinned per actor in ``__init__`` (one object-store get per actor,
+    not per batch); each batch of narrow (uid_a, uid_b, block_size)
+    pairs is scored by two vectorized ``searchsorted`` gathers straight
+    into the signature matrix — no attach stage, no per-batch
+    bytes→numpy round-trip, no shuffle."""
+
+    def __init__(self, ref, match_cfg: MatchConfig | None = None):
+        import ray
+
+        self.mc = match_cfg or MatchConfig()
+        (self.uids, self.sig, self.simhash, self.n_tokens,
+         self.titles) = ray.get(ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY_SCORED
+        ua = batch.column("uid_a").to_numpy(zero_copy_only=False)
+        ub = batch.column("uid_b").to_numpy(zero_copy_only=False)
+        ia = np.searchsorted(self.uids, ua)
+        ib = np.searchsorted(self.uids, ub)
+        return _score_arrays(
+            self.mc,
+            batch.column("uid_a"), batch.column("uid_b"),
+            batch.column("block_size"),
+            self.sig[ia], self.sig[ib],
+            self.simhash[ia], self.simhash[ib],
+            self.n_tokens[ia], self.n_tokens[ib],
+            lambda: list(self.titles[ia]),
+            lambda: list(self.titles[ib]),
+        )
+
+
 class PairScorer:
     """Actor-pool batch scorer over joined candidate pairs.
 
@@ -126,20 +243,7 @@ class PairScorer:
         mc = self.mc
         n = batch.num_rows
         if n == 0:
-            return pa.table(
-                {
-                    "uid_a": pa.array([], pa.int64()),
-                    "uid_b": pa.array([], pa.int64()),
-                    "est_jaccard": pa.array([], pa.float64()),
-                    "simhash_hd": pa.array([], pa.int32()),
-                    "len_ratio": pa.array([], pa.float64()),
-                    "title_jw": pa.array([], pa.float64()),
-                    "title_lev": pa.array([], pa.float64()),
-                    "score": pa.array([], pa.float64()),
-                    "is_match": pa.array([], pa.bool_()),
-                    "block_size": pa.array([], pa.int32()),
-                }
-            )
+            return _EMPTY_SCORED
         p = mc.num_perm
         sig_a = np.frombuffer(
             b"".join(batch.column("sig_a").to_pylist()), dtype="<u4"
@@ -147,54 +251,17 @@ class PairScorer:
         sig_b = np.frombuffer(
             b"".join(batch.column("sig_b").to_pylist()), dtype="<u4"
         ).reshape(n, p)
-        ej = (sig_a == sig_b).mean(axis=1)
-        hd = hamming64(
+        return _score_arrays(
+            mc,
+            batch.column("uid_a"), batch.column("uid_b"),
+            batch.column("block_size"),
+            sig_a, sig_b,
             batch.column("simhash_a").to_numpy(zero_copy_only=False),
             batch.column("simhash_b").to_numpy(zero_copy_only=False),
-        ).astype(np.int32)
-        na = batch.column("n_tokens_a").to_numpy(zero_copy_only=False).astype(np.float64)
-        nb = batch.column("n_tokens_b").to_numpy(zero_copy_only=False).astype(np.float64)
-        len_ratio = np.minimum(na, nb) / np.maximum(np.maximum(na, nb), 1.0)
-        score = (
-            mc.w_jaccard * ej
-            + mc.w_simhash * (1.0 - hd / 64.0)
-            + mc.w_length * len_ratio
-        )
-        title_jw = np.zeros(n)
-        if mc.w_title_jw > 0:
-            title_jw = batch_jaro_winkler(
-                batch.column("title_a").to_pylist(),
-                batch.column("title_b").to_pylist(),
-            )
-            score = score + mc.w_title_jw * title_jw
-        # bounded Levenshtein on titles for BORDERLINE pairs only (the
-        # expensive O(len²) signal is computed where it can matter)
-        title_lev = np.full(n, -1.0)
-        gray = np.flatnonzero(np.abs(score - mc.threshold) < 0.15)
-        if len(gray):
-            ta = batch.column("title_a").to_pylist()
-            tb = batch.column("title_b").to_pylist()
-            title_lev[gray] = batch_levenshtein_ratio(
-                [ta[i] for i in gray], [tb[i] for i in gray]
-            )
-        is_match = score >= mc.threshold
-        # short-doc guard (MatchConfig.short_doc_shingles): chrome-heavy
-        # short pages must agree strongly on content shingles
-        short = np.minimum(na, nb) < mc.short_doc_shingles
-        is_match &= ~short | (ej >= mc.short_doc_min_jaccard)
-        return pa.table(
-            {
-                "uid_a": batch.column("uid_a"),
-                "uid_b": batch.column("uid_b"),
-                "est_jaccard": pa.array(ej, pa.float64()),
-                "simhash_hd": pa.array(hd, pa.int32()),
-                "len_ratio": pa.array(len_ratio, pa.float64()),
-                "title_jw": pa.array(title_jw, pa.float64()),
-                "title_lev": pa.array(title_lev, pa.float64()),
-                "score": pa.array(score, pa.float64()),
-                "is_match": pa.array(is_match, pa.bool_()),
-                "block_size": batch.column("block_size"),
-            }
+            batch.column("n_tokens_a").to_numpy(zero_copy_only=False),
+            batch.column("n_tokens_b").to_numpy(zero_copy_only=False),
+            lambda: batch.column("title_a").to_pylist(),
+            lambda: batch.column("title_b").to_pylist(),
         )
 
 
@@ -206,9 +273,15 @@ def score_pairs(pairs, profiles, match_cfg: MatchConfig, cfg: PipelineConfig,
     except Exception:
         n_profiles = None
     if n_profiles is not None and n_profiles <= BROADCAST_PROFILES_MAX:
-        joined = attach_profiles_broadcast(pairs, profiles)
-    else:
-        joined = attach_profiles(pairs, profiles, cfg, n_pairs=n_pairs)
+        ref = _broadcast_profile_arrays(profiles)
+        return pairs.map_batches(
+            BroadcastPairScorer,
+            fn_constructor_kwargs={"ref": ref, "match_cfg": match_cfg},
+            batch_format="pyarrow",
+            batch_size=cfg.scorer_batch_size,
+            concurrency=effective_concurrency(cfg),
+        )
+    joined = attach_profiles(pairs, profiles, cfg, n_pairs=n_pairs)
     return joined.map_batches(
         PairScorer,
         fn_constructor_kwargs={"match_cfg": match_cfg},
