@@ -103,10 +103,18 @@ def attach_url_strings(ds_with_uid, profiles, cfg: PipelineConfig):
         import numpy as np
         import pyarrow as pa
 
-        prof = profiles.select_columns(["uid", "url"]).to_pandas()
-        order = prof["uid"].to_numpy().argsort()
-        uids = prof["uid"].to_numpy()[order]
-        urls = prof["url"].to_numpy()[order]
+        from ..stages.scoring import broadcast_columns
+
+        tbl = broadcast_columns(profiles, ["uid", "url"])
+        if tbl is None:
+            uids = np.array([], dtype=np.int64)
+            urls = np.array([], dtype=object)
+        else:
+            uids_raw = tbl.column("uid").to_numpy()
+            order = uids_raw.argsort()
+            uids = uids_raw[order]
+            urls = np.asarray(tbl.column("url").to_pylist(),
+                              dtype=object)[order]
         ref = ray.put((uids, urls))
 
         def attach(batch: pa.Table) -> pa.Table:

@@ -35,6 +35,32 @@ BROADCAST_PROFILES_MAX = 2_000_000
 _PROFILE_COLS = ["uid", "sig", "simhash", "n_tokens", "title"]
 
 
+def broadcast_columns(ds, cols) -> pa.Table | None:
+    """Collect ``cols`` of a (small) Dataset to the driver as ONE Arrow
+    table, pulling blocks straight from the object store — the fast
+    path behind every broadcast-side prep.
+
+    Handles ray 2.49 quirks: ``to_arrow_refs`` returns pandas-format
+    blocks unconverted (e.g. downstream of a pandas groupby partial),
+    and EMPTY blocks carry an empty schema; unioned inputs (incremental:
+    stored ∪ delta profiles) can disagree on field order / null-typing
+    across blocks. Returns None when every block is empty (callers
+    supply their own typed empty)."""
+    import ray
+
+    raw = ray.get(ds.select_columns(list(cols)).to_arrow_refs())
+    nonempty = [
+        (t if isinstance(t, pa.Table)
+         else pa.Table.from_pandas(t, preserve_index=False)).select(
+            list(cols))
+        for t in raw if len(t)
+    ]
+    if not nonempty:
+        return None
+    schema = nonempty[0].schema
+    return pa.concat_tables([t.cast(schema) for t in nonempty])
+
+
 def _broadcast_profile_arrays(profiles):
     """profiles → ``ray.put`` ref of uid-sorted lookup arrays.
 
@@ -48,29 +74,14 @@ def _broadcast_profile_arrays(profiles):
     stats because it ran at graph-build time."""
     import ray
 
-    raw = ray.get(profiles.select_columns(_PROFILE_COLS).to_arrow_refs())
-    # despite the name, refs of pandas-format blocks (e.g. downstream of
-    # a pandas groupby partial) come back as DataFrames in ray 2.49; and
-    # EMPTY blocks carry an empty schema — drop them before projecting.
-    # Unioned inputs (incremental: stored ∪ delta profiles) can also
-    # disagree on field order / null-typing across blocks — normalize on
-    # the first non-empty block's schema before concatenating.
-    nonempty = [
-        (t if isinstance(t, pa.Table)
-         else pa.Table.from_pandas(t, preserve_index=False)).select(
-            _PROFILE_COLS)
-        for t in raw if len(t)
-    ]
-    if not nonempty:
+    tbl = broadcast_columns(profiles, _PROFILE_COLS)
+    if tbl is None:
         tbl = pa.table(
             {"uid": pa.array([], pa.int64()),
              "sig": pa.array([], pa.binary()),
              "simhash": pa.array([], pa.uint64()),
              "n_tokens": pa.array([], pa.int32()),
              "title": pa.array([], pa.string())})
-    else:
-        schema = nonempty[0].schema
-        tbl = pa.concat_tables([t.cast(schema) for t in nonempty])
     uids_raw = tbl.column("uid").to_numpy()
     order = np.argsort(uids_raw)
     uids = uids_raw[order]

@@ -312,3 +312,31 @@ def test_cluster_truth_at_sf001_scale(ray_session):
                     for y in range(len(ids)) if y != x
                 )
                 assert best >= 0.5, (ids[x], best, ids)
+
+
+def test_scoring_plans_equivalent(resolved, corpus, ray_session, monkeypatch):
+    """The broadcast plan (BroadcastPairScorer: fused searchsorted attach)
+    and the large-scale join plan (attach_profiles + PairScorer) must
+    produce IDENTICAL scored pairs — the join plan otherwise only runs
+    above 2M docs and would never be exercised by tests."""
+    import sqs_entity_resolution_ray.stages.scoring as sc
+    from sqs_entity_resolution_ray.config import MatchConfig, PipelineConfig
+    from sqs_entity_resolution_ray.stages.blocking import candidate_pairs
+
+    art, _ = resolved
+    mc, cfg = MatchConfig(), PipelineConfig()
+    pairs = candidate_pairs(art.profiles, mc, cfg).materialize()
+
+    def run():
+        df = sc.score_pairs(pairs, art.profiles, mc, cfg,
+                            n_pairs=pairs.count()).to_pandas()
+        return df.sort_values(["uid_a", "uid_b"]).reset_index(drop=True)
+
+    broadcast = run()
+    monkeypatch.setattr(sc, "BROADCAST_PROFILES_MAX", 0)
+    joined = run()
+    assert list(broadcast.columns) == list(joined.columns)
+    # join output row order differs; content must be bit-identical
+    pd.testing.assert_frame_equal(
+        broadcast, joined[broadcast.columns], check_exact=True
+    )
