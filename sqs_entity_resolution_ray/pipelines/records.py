@@ -331,7 +331,7 @@ def resolve_records(records: rd.Dataset, cfg: PipelineConfig | None = None):
     from ..stages.agg import hash_aggregate
 
     pairs = hash_aggregate(
-        pairs, ["rec_a", "rec_b"], {"n_keys": ("rec_a", "count")}
+        pairs, ["rec_a", "rec_b"], {"n_keys": ("rec_a", "count")}, cfg=cfg
     ).select_columns(["rec_a", "rec_b"])
 
     feat_cols = ["rec_key", "name_full", "name_last", "dob", "dob_swapped",

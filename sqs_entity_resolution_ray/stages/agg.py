@@ -31,6 +31,7 @@ def hash_aggregate(
     keys: list[str],
     agg_spec: dict[str, tuple[str, str]],
     num_partitions: int | None = None,
+    cfg=None,
 ) -> rd.Dataset:
     """``agg_spec``: out_col → (in_col, fn) with fn ∈ {sum,count,min,max}.
 
@@ -38,15 +39,16 @@ def hash_aggregate(
     (implemented via groupby.size, not pandas' null-excluding count);
     ``in_col`` is ignored for count.
 
-    ``num_partitions=None`` sizes the reduce shuffle to the cluster CPU
-    count (``effective_partitions``) — callers that know their row count
-    should pass ``partitions_for(n_rows, cfg)`` instead so the shuffle
-    scales with data, and ``PipelineConfig.shuffle_partitions`` remains
-    the multi-node override either way."""
+    ``num_partitions=None`` sizes the reduce shuffle via
+    ``effective_partitions(cfg)`` (cluster CPU count unless the caller's
+    ``cfg.shuffle_partitions`` overrides — the one-knob invariant; pass
+    ``cfg`` at every cfg-aware call site). Callers that know their row
+    count should pass ``partitions_for(n_rows, cfg)`` instead so the
+    shuffle scales with data."""
     if num_partitions is None:
         from ..config import DEFAULT_PIPELINE, effective_partitions
 
-        num_partitions = effective_partitions(DEFAULT_PIPELINE)
+        num_partitions = effective_partitions(cfg or DEFAULT_PIPELINE)
     keys = list(keys)
     for out_col, (in_col, fn) in agg_spec.items():
         if fn not in _PARTIAL_FN:
@@ -106,6 +108,7 @@ def hash_topn(
     tie_cols: list[str] | None = None,
     descending: bool = True,
     num_partitions: int | None = None,
+    cfg=None,
 ) -> rd.Dataset:
     """Grouped top-N (the windowed-rank operator): per key, the N rows
     with the largest (or smallest) ``order_col``, ties broken by
@@ -117,12 +120,13 @@ def hash_topn(
     bounded by N·distinct-keys-per-batch, never the raw row count), the
     single-int-key shuffle co-locates each key's partials, and one
     vectorized sort+head per partition finishes. No per-key Python call.
-    ``num_partitions=None`` → cluster-CPU-sized (see hash_aggregate).
+    ``num_partitions=None`` → ``effective_partitions(cfg)`` (see
+    hash_aggregate — pass ``cfg`` so ``shuffle_partitions`` governs).
     """
     if num_partitions is None:
         from ..config import DEFAULT_PIPELINE, effective_partitions
 
-        num_partitions = effective_partitions(DEFAULT_PIPELINE)
+        num_partitions = effective_partitions(cfg or DEFAULT_PIPELINE)
     keys = list(keys)
     tie_cols = list(tie_cols or [])
     sort_cols = keys + [order_col] + tie_cols

@@ -82,38 +82,47 @@ def emit_band_rows(batch: pa.Table, *, lsh_bands: int,
     )
 
 
+def chunk_ranges(n: int, max_size: int) -> list[tuple[int, int]]:
+    """Overlap-chunk walk over a SORTED block of ``n`` members: chunks of
+    at most ``max_size`` sharing ONE member between consecutive chunks,
+    so pair enumeration is O(chunk²) instead of O(n²) while transitive
+    connectivity across the whole block is preserved (a genuinely
+    near-duplicate mega-block still resolves into ONE component)."""
+    if n <= max_size:
+        return [(0, n)]
+    out: list[tuple[int, int]] = []
+    s = 0
+    while s < n - 1:
+        e = min(s + max_size, n)
+        out.append((s, e))
+        if e == n:
+            break
+        s = e - 1  # overlap one member → connectivity preserved
+    return out
+
+
 def _pairs_for_block(urls, cfg: PipelineConfig, out_a: list,
                      out_b: list, out_size: list) -> None:
     """Enumerate one block (members already sorted); appends to the
     output lists. Applies salted chunking; cross-band duplicate pairs
-    are removed by the downstream hash-aggregate dedup."""
+    are removed by the downstream hash-aggregate dedup. Stops EXACTLY at
+    ``max_pairs_per_block`` (cap checked before each append, so the
+    emitted count matches :func:`_chunked_pair_count`'s math)."""
     n = len(urls)
-    max_s = cfg.max_block_size
-    if n <= max_s:
-        chunks = [range(n)]
-    else:
-        chunks = []
-        s = 0
-        while s < n - 1:
-            e = min(s + max_s, n)
-            chunks.append(range(s, e))
-            if e == n:
-                break
-            s = e - 1  # overlap one member → connectivity preserved
+    cap = cfg.max_pairs_per_block
     emitted = 0
-    for ch in chunks:
-        mem = list(ch)
-        for x in range(len(mem)):
-            i = mem[x]
-            for y in range(x + 1, len(mem)):
-                j = mem[y]
-                out_a.append(urls[i])
-                out_b.append(urls[j])
-                emitted += 1
-                if emitted >= cfg.max_pairs_per_block:
+    for s, e in chunk_ranges(n, cfg.max_block_size):
+        for x in range(s, e):
+            for y in range(x + 1, e):
+                if emitted >= cap:
                     break
-            if emitted >= cfg.max_pairs_per_block:
+                out_a.append(urls[x])
+                out_b.append(urls[y])
+                emitted += 1
+            if emitted >= cap:
                 break
+        if emitted >= cap:
+            break
     out_size.extend([n] * emitted)
 
 
@@ -159,22 +168,13 @@ class PartitionPairEnumerator:
         )
 
 
-def _chunked_pair_count(n: int, max_s: int, cap: int) -> int:
+def _chunked_pair_count(n: int, max_s: int, cap: int | None) -> int:
     """Pairs :func:`_pairs_for_block` emits for a block of size ``n`` —
     the same chunk walk (size ``max_s``, one overlapping member) and the
-    same ``max_pairs_per_block`` cap, as counting math."""
-    if n <= max_s:
-        return min(n * (n - 1) // 2, cap)
-    total = 0
-    s = 0
-    while s < n - 1:
-        e = min(s + max_s, n)
-        c = e - s
-        total += c * (c - 1) // 2
-        if e == n:
-            break
-        s = e - 1
-    return min(total, cap)
+    same ``max_pairs_per_block`` cap, as counting math. ``cap=None``
+    means uncapped (the dedup family chunks but never pair-caps)."""
+    total = sum((e - s) * (e - s - 1) // 2 for s, e in chunk_ranges(n, max_s))
+    return total if cap is None else min(total, cap)
 
 
 class PartitionBlockStats:
@@ -187,32 +187,43 @@ class PartitionBlockStats:
     Counts are per (band, block): a doc pair colliding in k bands is
     counted in k blocks (pair dedup happens downstream of enumeration,
     so these are the enumeration-cost numbers that matter for skew).
+
+    Generalized over the bucketed-shuffle family: ``key_col`` names the
+    bucket column (``band_key`` for LSH bands, ``bucket`` for simhash
+    chunks / hyperplane codes), ``chunk_size``/``pair_cap`` override the
+    enumeration geometry (the dedup operators chunk at
+    ``max_block_size*4`` and never pair-cap — stages/dedup.py).
     """
 
-    def __init__(self, cfg: PipelineConfig | None = None):
+    def __init__(self, cfg: PipelineConfig | None = None,
+                 key_col: str = "band_key",
+                 chunk_size: int | None = None,
+                 pair_cap: int | None = -1):
         self.cfg = cfg or PipelineConfig()
+        self.key_col = key_col
+        self.chunk_size = chunk_size or self.cfg.max_block_size
+        self.pair_cap = self.cfg.max_pairs_per_block if pair_cap == -1 else pair_cap
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        cfg = self.cfg
         n = group.num_rows
         part = int(group.column("part")[0].as_py()) if n else -1
-        keys = group.column("band_key").to_numpy(zero_copy_only=False)
+        keys = group.column(self.key_col).to_numpy(zero_copy_only=False)
         order = np.argsort(keys, kind="stable")
         sk = keys[order]
         bounds = np.flatnonzero(sk[1:] != sk[:-1]) + 1
         sizes = np.diff(np.concatenate(([0], bounds, [n])))
         multi = sizes[sizes >= 2]
         exact = int((multi.astype(np.int64) * (multi - 1) // 2).sum())
-        split = multi[multi > cfg.max_block_size]
+        split = multi[multi > self.chunk_size]
         # only split/capped blocks need the chunk walk; small blocks
         # (the overwhelming majority) are one vectorized expression
-        emitted = int(np.minimum(
-            multi.astype(np.int64) * (multi - 1) // 2,
-            cfg.max_pairs_per_block,
-        )[multi <= cfg.max_block_size].sum())
+        small_pairs = (multi.astype(np.int64) * (multi - 1) // 2)[
+            multi <= self.chunk_size]
+        if self.pair_cap is not None:
+            small_pairs = np.minimum(small_pairs, self.pair_cap)
+        emitted = int(small_pairs.sum())
         emitted += sum(
-            _chunked_pair_count(int(s), cfg.max_block_size,
-                                cfg.max_pairs_per_block)
+            _chunked_pair_count(int(s), self.chunk_size, self.pair_cap)
             for s in split
         )
         return pa.table({
@@ -253,6 +264,13 @@ def block_stats(profiles, match_cfg: MatchConfig, cfg: PipelineConfig):
         stats_in_partition, batch_format="pyarrow"
     )
 
+    return summarize_partition_stats(per_part)
+
+
+def summarize_partition_stats(per_part):
+    """Per-partition skew rows → ONE summary row (shared by the band
+    block_stats above and the dedup-family skew stats, stages/dedup.py)."""
+
     def summarize(df):
         import pandas as pd
 
@@ -275,7 +293,12 @@ def block_stats(profiles, match_cfg: MatchConfig, cfg: PipelineConfig):
 
 
 def candidate_pairs(profiles, match_cfg: MatchConfig, cfg: PipelineConfig):
-    """profiles → deduped candidate pair Dataset (uid_a, uid_b, block_size)."""
+    """profiles → deduped candidate pair Dataset (uid_a, uid_b, block_size).
+
+    ``profiles`` is expected MATERIALIZED (all current callers comply):
+    the pair-dedup shuffle is sized by ``profiles.count()``, which on a
+    lazy dataset would execute the profile pipeline twice (once for the
+    count, once for the band emit)."""
     n_bucket = bucket_partitions(cfg, BAND_PARTITIONS)
     bands = profiles.map_batches(
         emit_band_rows,

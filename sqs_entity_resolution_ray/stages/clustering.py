@@ -235,7 +235,7 @@ def clusters_with_size(labels, cfg: PipelineConfig | None = None):
 
     cfg = cfg or PipelineConfig()
     sizes = hash_aggregate(
-        labels, ["label"], {"cluster_size": ("url", "count")}
+        labels, ["label"], {"cluster_size": ("url", "count")}, cfg=cfg
     ).materialize()
     n_clusters = sizes.count()
 

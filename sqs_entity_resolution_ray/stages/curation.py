@@ -31,6 +31,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..config import PipelineConfig, bucket_partitions
 from ..functions.hashing import hash_str_array, hash_u64_pairs
 
 # ASCII whitespace class, NOT \S+: Python re is Unicode-aware while the
@@ -319,7 +320,8 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_cap: int = BENCH_BROADCAST_CAP,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
+    cfg: PipelineConfig | None = None,
 ) -> rd.Dataset:
     """Find corpus docs sharing any exact n-token shingle with a
     benchmark set (training-data decontamination against eval sets).
@@ -340,6 +342,9 @@ def decontaminate(
     """
     from .agg import hash_aggregate
 
+    if num_partitions is None:  # the one-knob invariant (config.py:146)
+        num_partitions = bucket_partitions(cfg, 64)
+
     def bench_hashes(batch: pd.DataFrame) -> pa.Table:
         h, _ = _raw_shingle_hashes(batch[text_col].tolist(), n_tokens)
         return pa.table({"sh": pa.array(np.unique(h), pa.uint64())})
@@ -350,7 +355,7 @@ def decontaminate(
     # cheap metadata read, no driver pull
     if parts.count() > broadcast_cap:
         return _decontaminate_shuffle(corpus, parts, n_tokens, text_col,
-                                      id_col, num_partitions)
+                                      id_col, num_partitions, cfg)
     bench = np.unique(parts.to_pandas()["sh"].to_numpy(dtype=np.uint64))
     bench_ref = ray.put(np.sort(bench))
 
@@ -368,13 +373,14 @@ def decontaminate(
         return pa.table({id_col: pa.array(ids[hit])})
 
     hits = corpus.map_batches(contaminated, batch_format="pandas")
-    return _distinct_sorted(hits, id_col, hash_aggregate)
+    return _distinct_sorted(hits, id_col, hash_aggregate, cfg)
 
 
-def _distinct_sorted(hits: rd.Dataset, id_col: str, hash_aggregate):
+def _distinct_sorted(hits: rd.Dataset, id_col: str, hash_aggregate,
+                     cfg: PipelineConfig | None = None):
     """Distinct ids, sorted — two-phase combiner, no per-id Python call."""
     return hash_aggregate(
-        hits, [id_col], {"_n": (id_col, "count")}
+        hits, [id_col], {"_n": (id_col, "count")}, cfg=cfg
     ).select_columns([id_col]).sort(id_col)
 
 
@@ -385,6 +391,7 @@ def _decontaminate_shuffle(
     text_col: str,
     id_col: str,
     num_partitions: int,
+    cfg: PipelineConfig | None = None,
 ) -> rd.Dataset:
     """Shingle-hash-bucketed semi-join (the above-broadcast-cap path)."""
     from .agg import hash_aggregate
@@ -441,4 +448,4 @@ def _decontaminate_shuffle(
 
     hits = tagged.groupby("part", num_partitions=num_partitions).map_groups(
         part_hits, batch_format="pandas")
-    return _distinct_sorted(hits, id_col, hash_aggregate)
+    return _distinct_sorted(hits, id_col, hash_aggregate, cfg)

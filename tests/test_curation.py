@@ -161,6 +161,16 @@ def test_decontaminate_exact_shingles(ray_session):
                          broadcast_cap=0, num_partitions=8).to_pandas()
     assert out2["doc_id"].tolist() == [0, 3]
 
+    # the one-knob invariant (round-4 verdict #5): with no explicit
+    # num_partitions, the shuffle fallback resolves its partition count
+    # through cfg.shuffle_partitions via bucket_partitions
+    from sqs_entity_resolution_ray.config import PipelineConfig
+
+    out3 = decontaminate(
+        corpus, bench, n_tokens=8, broadcast_cap=0,
+        cfg=PipelineConfig(shuffle_partitions=3)).to_pandas()
+    assert out3["doc_id"].tolist() == [0, 3]
+
 
 def test_parse_json_field_float_falls_back(ray_session):
     """Integer-prefix of a float must not be extracted by the regex fast

@@ -174,3 +174,79 @@ def test_partition_sizing_scales_with_rows(monkeypatch):
     assert bucket_partitions(PipelineConfig(), 64) == 64
     assert bucket_partitions(PipelineConfig(shuffle_partitions=8), 64) == 8
     assert bucket_partitions(None, 64) == 64
+
+
+# ------------------------- skew handling (overlap-chunk walk) --------
+
+
+@pytest.fixture(scope="module")
+def megabucket_docs(ray_session):
+    """100 byte-identical docs — one mega-bucket far over the chunk size
+    at max_block_size=8 (chunk = 32): the overlap-chunk walk must keep
+    the bucket ONE component, never fragment it (round-4 verdict #1)."""
+    import ray.data as rd
+
+    text = " ".join(f"w{i % 37}" for i in range(120))
+    df = pd.DataFrame({"doc_id": range(100), "text": [text] * 100})
+    return rd.from_pandas(df), df
+
+
+def test_megabucket_single_cluster_simhash(megabucket_docs, ray_session):
+    from sqs_entity_resolution_ray.config import PipelineConfig
+    from sqs_entity_resolution_ray.stages.dedup import simhash_dedup
+
+    ds, df = megabucket_docs
+    cfg = PipelineConfig(max_block_size=8)  # chunk = 32 < 100 members
+    out = simhash_dedup(ds, cfg=cfg).to_pandas()
+    assert len(out) == 100
+    assert out["rep_id"].nunique() == 1, "mega-bucket fragmented"
+    assert (out["cluster_size"] == 100).all()
+
+
+def test_megabucket_single_cluster_embedding(ray_session):
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.config import PipelineConfig
+    from sqs_entity_resolution_ray.functions.hashing import stable_rng
+    from sqs_entity_resolution_ray.stages.dedup import embedding_dedup
+
+    rng = stable_rng("mega-emb")
+    base = rng.standard_normal(16).astype("float32")
+    df = pd.DataFrame({
+        "vec_id": [f"v{i:03d}" for i in range(100)],
+        "embedding": [base.tolist()] * 100,
+    })
+    cfg = PipelineConfig(max_block_size=8)  # chunk = 32 < 100 members
+    out = embedding_dedup(rd.from_pandas(df), cfg=cfg).to_pandas()
+    assert len(out) == 100
+    assert out["rep_id"].nunique() == 1, "mega-bucket fragmented"
+    assert (out["cluster_size"] == 100).all()
+
+
+def test_dedup_skew_stats_observable(megabucket_docs, ray_session):
+    """The chunk walk's dropped-pair cost must be OBSERVABLE (north
+    rule): the mega-bucket shows up as a split block with dropped
+    pairs > 0 (exact all-pairs cost minus the chunked cost)."""
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.config import PipelineConfig
+    from sqs_entity_resolution_ray.functions.hashing import stable_rng
+    from sqs_entity_resolution_ray.stages.dedup import dedup_skew_stats
+
+    ds, df = megabucket_docs
+    rng = stable_rng("mega-emb")
+    base = rng.standard_normal(16).astype("float32")
+    vecs = rd.from_pandas(pd.DataFrame({
+        "vec_id": [f"v{i:03d}" for i in range(100)],
+        "embedding": [base.tolist()] * 100,
+    }))
+    cfg = PipelineConfig(max_block_size=8)
+    stats = dedup_skew_stats(docs=ds, vectors=vecs, cfg=cfg).to_pandas()
+    assert sorted(stats["kind"]) == ["embedding", "simhash"]
+    for _, row in stats.iterrows():
+        assert row["max_block_size"] >= 100
+        assert row["n_blocks_split"] >= 1
+        assert row["n_pairs_dropped"] > 0
+        assert row["n_pairs_emitted"] > 0
+        assert (row["n_pairs_exact"]
+                == row["n_pairs_emitted"] + row["n_pairs_dropped"])

@@ -127,3 +127,38 @@ def test_incremental_replacement_rescopes(corpus, pages_df, tmp_path,
     assert all(ent_after[m] != ent_after[victim] for m in old_members)
     assert len({ent_after[m] for m in old_members}) == 1
     assert multi_ent in set(inc.affected) | {ent_after[victim]} or inc.affected
+
+
+def test_incremental_honors_shuffle_partitions(corpus, pages_df, tmp_path,
+                                               ray_session, monkeypatch):
+    """cfg.shuffle_partitions is the ONE knob for every shuffle in the
+    incremental path (round-4 verdict #2): spy on Dataset.groupby during
+    the incremental leg and assert every shuffle uses the knob's value."""
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.config import PipelineConfig
+    from sqs_entity_resolution_ray.pipelines.incremental import (
+        resolve_incremental,
+    )
+
+    cfg = PipelineConfig(shuffle_partitions=5)
+    state = str(tmp_path / "state")
+    resolve_incremental(rd.from_pandas(pages_df), state, cfg=cfg,
+                        run_tag="t0")
+
+    base = pages_df.iloc[0]
+    delta = _delta_page("http://delta.example/p", base["html"])
+
+    seen = []
+    orig = rd.Dataset.groupby
+
+    def spy(self, key, *a, **kw):
+        seen.append(kw.get("num_partitions"))
+        return orig(self, key, *a, **kw)
+
+    monkeypatch.setattr(rd.Dataset, "groupby", spy)
+    res = resolve_incremental(rd.from_pandas(delta), state, cfg=cfg,
+                              run_tag="t1")
+    assert not res.full_run and res.n_pairs_scored > 0
+    assert seen, "no shuffles observed"
+    assert all(p == 5 for p in seen), f"shuffles ignoring the knob: {seen}"

@@ -237,7 +237,22 @@ def test_block_stats_counts_split_blocks(ray_session):
     assert stats["n_pairs_exact"] == mc.lsh_bands * exact
     assert stats["n_pairs_dropped"] == mc.lsh_bands * (exact - per_block)
 
-def test_cluster_truth_at_sf001_scale(ray_session):
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sf001_resolved(ray_session):
+    """Resolve artifacts over the sf0.01-derived pages corpus (computed
+    once; shared by the truth gate and the distributed-CC bench test)."""
+    from sqs_entity_resolution_ray.pipelines.resolve import read_pages, resolve
+    from sqs_entity_resolution_ray.sources.corpus import pages_from_documents
+
+    d = pages_from_documents("/root/testdata/sf0.01")
+    art = resolve(read_pages(d + "/pages"))
+    return d, art, art.clusters.to_pandas()
+
+
+def test_cluster_truth_at_sf001_scale(sf001_resolved, ray_session):
     """Scale-invariant ER gate beyond the sf0.001 golden (round-3 VERDICT
     #6), at sf0.01 (~10x the docs):
 
@@ -259,11 +274,8 @@ def test_cluster_truth_at_sf001_scale(ray_session):
     import pyarrow.parquet as pq2
 
     from sqs_entity_resolution_ray.functions.minhash import shingle_doc_hashes
-    from sqs_entity_resolution_ray.pipelines.resolve import read_pages, resolve
-    from sqs_entity_resolution_ray.sources.corpus import pages_from_documents
 
-    d = pages_from_documents("/root/testdata/sf0.01")
-    clusters = resolve(read_pages(d + "/pages")).clusters.to_pandas()
+    d, _art, clusters = sf001_resolved
     truth = pq2.read_table(d + "/expected_clusters.parquet").to_pandas()
     assert len(clusters) == len(truth)
 
@@ -340,3 +352,91 @@ def test_scoring_plans_equivalent(resolved, corpus, ray_session, monkeypatch):
     pd.testing.assert_frame_equal(
         broadcast, joined[broadcast.columns], check_exact=True
     )
+
+
+def test_pairs_for_block_cap_exact(ray_session):
+    """A cap-hitting SPLIT block: the enumerator must stop exactly at
+    max_pairs_per_block, matching _chunked_pair_count's math (round-4
+    advice: the old loop overshot by one pair per chunk past the cap)."""
+    from sqs_entity_resolution_ray.config import PipelineConfig
+    from sqs_entity_resolution_ray.stages.blocking import (
+        _chunked_pair_count,
+        _pairs_for_block,
+    )
+
+    cfg = PipelineConfig()  # max_block_size=64, max_pairs_per_block=4096
+    ids = list(range(500))
+    out_a, out_b, out_size = [], [], []
+    _pairs_for_block(ids, cfg, out_a, out_b, out_size)
+    expect = _chunked_pair_count(500, cfg.max_block_size,
+                                 cfg.max_pairs_per_block)
+    assert len(out_a) == expect == cfg.max_pairs_per_block
+    assert len(out_size) == len(out_a)
+    # uncapped small block sanity: exact triangle count
+    out_a2, out_b2, out_s2 = [], [], []
+    _pairs_for_block(list(range(10)), cfg, out_a2, out_b2, out_s2)
+    assert len(out_a2) == 45 == _chunked_pair_count(
+        10, cfg.max_block_size, cfg.max_pairs_per_block)
+
+
+def test_distributed_cc_at_bench_scale(sf001_resolved, ray_session):
+    """The 100x-scale CC path proven at bench scale (round-4 verdict #3):
+    force algorithm="distributed" over the sf0.01 corpus's full edge set
+    (the path a run whose edges exceed DRIVER_CC_MAX_EDGES would take)
+    and assert partition equality with the driver union-find."""
+    import time
+
+    from sqs_entity_resolution_ray.stages.clustering import (
+        clusters_with_size,
+        connected_components,
+    )
+
+    _d, art, clusters_driver = sf001_resolved
+    nodes = art.profiles.select_columns(["uid"]).rename_columns(
+        {"uid": "url"})
+    cc_edges = art.edges.rename_columns({"uid_a": "url_a", "uid_b": "url_b"})
+    t0 = time.monotonic()
+    labels = connected_components(nodes, cc_edges, algorithm="distributed")
+    clusters_dist = clusters_with_size(labels).to_pandas()
+    wall = time.monotonic() - t0
+    driver_part = set(
+        frozenset(g) for _, g in clusters_driver.groupby("entity_id")["uid"])
+    dist_part = set(
+        frozenset(g) for _, g in clusters_dist.groupby("entity_id")["url"])
+    assert dist_part == driver_part
+    n_edges = art.edges.count()
+    print(f"distributed CC at sf0.01: {len(dist_part)} clusters over "
+          f"{n_edges} edges in {wall:.1f}s")
+
+
+@pytest.mark.slow
+def test_cluster_truth_at_sf01_headline_scale(ray_session):
+    """ER truth gate at the HEADLINE bench scale (sf0.1, ~130k pages —
+    round-4 verdict #4): partition-refinement against the documents
+    table's generator truth. Same invariants as the sf0.01 gate (recall:
+    no truth entity splits; precision: cross-doc merges are rare), so
+    threshold drift at scale is caught where the bench actually runs.
+    Marked slow (~minutes at the 4-CPU test session)."""
+    import pyarrow.parquet as pq2
+
+    from sqs_entity_resolution_ray.pipelines.resolve import read_pages, resolve
+    from sqs_entity_resolution_ray.sources.corpus import pages_from_documents
+
+    d = pages_from_documents("/root/testdata/sf0.1")
+    clusters = resolve(read_pages(d + "/pages")).clusters.to_pandas()
+    truth = pq2.read_table(d + "/expected_clusters.parquet").to_pandas()
+    assert len(clusters) == len(truth)
+
+    merged = truth.rename(columns={"entity_id": "truth_id"}).merge(
+        clusters[["url", "entity_id"]], on="url", validate="1:1")
+    # recall: a truth entity never splits across clusters
+    assert (merged.groupby("truth_id")["entity_id"].nunique() == 1).all()
+    # precision: merges stay rare and bounded (the documents table's
+    # designed near-dup families are ~9% of docs; a threshold collapse
+    # would blow past that and grow giant clusters)
+    docs_in_cluster = merged.groupby("entity_id")["truth_id"].agg(
+        lambda x: sorted(set(x)))
+    multi = docs_in_cluster[docs_in_cluster.str.len() > 1]
+    n_docs_merged = sum(len(v) for v in multi)
+    assert n_docs_merged < 0.2 * merged["truth_id"].nunique(), n_docs_merged
+    assert multi.str.len().max() < 12, multi[multi.str.len() >= 12]
