@@ -159,14 +159,16 @@ def minhash_dedup(ds: rd.Dataset, text_col: str = "text",
                   id_col: str = "doc_id",
                   threshold: float = 0.8,
                   mc: MatchConfig | None = None,
-                  cfg: PipelineConfig | None = None) -> rd.Dataset:
+                  cfg: PipelineConfig | None = None,
+                  carry_sigs: bool | None = None) -> rd.Dataset:
     """MinHash-LSH near-dup: shingle → minhash → band buckets →
     estimated-Jaccard verify ≥ threshold → CC → (doc_id, rep_id,
-    cluster_size)."""
+    cluster_size). ``carry_sigs`` picks the signature-transport plan
+    (None = auto by doc count; see :func:`_sketch_pairs`)."""
     mc = mc or MatchConfig()
     cfg = cfg or PipelineConfig()
     sketches = _doc_sketches(ds, text_col, id_col, mc).materialize()
-    pairs = _sketch_pairs(sketches, mc, cfg)
+    pairs = _sketch_pairs(sketches, mc, cfg, carry_sigs=carry_sigs)
 
     def verify(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -191,21 +193,99 @@ def minhash_dedup(ds: rd.Dataset, text_col: str = "text",
     return _dedup_from_edges(sketches.select_columns(["doc_id"]), edges, cfg)
 
 
-def _sketch_pairs(sketches: rd.Dataset, mc: MatchConfig,
-                  cfg: PipelineConfig) -> rd.Dataset:
-    """LSH band buckets → candidate pairs carrying both signatures.
+# signature-transport policy for _sketch_pairs: below this many docs the
+# (num_perm x 4 B) signature rides the band shuffle (one shuffle, wider
+# rows); above it, band rows stay NARROW and the much smaller deduped
+# pair list re-acquires signatures via broadcast/join — the 10^8+-docs
+# plan (round-4 verdict documented this as a trade; both plans now exist
+# and are equivalence-tested).
+SIG_CARRY_MAX_DOCS = 100_000_000
+# byte cap for broadcasting the (doc_id, sig) side in the join plan;
+# above it, chained hash joins (the ngram text-attach pattern).
+SIG_BROADCAST_MAX_BYTES = 256 * 2**20
 
-    Unlike the page pipeline (which re-joins profiles to keep the band
-    shuffle narrow), this carries signatures through the band shuffle —
-    the right trade below ~10^8 docs per run; above that, switch to the
-    join plan in stages/scoring.py. Partition-level enumeration (one
-    Python call per hash partition, vectorized block detection) like
-    stages/blocking.py.
+
+def _attach_sigs(pairs: rd.Dataset, sketches: rd.Dataset, mc: MatchConfig,
+                 cfg: PipelineConfig) -> rd.Dataset:
+    """(doc_id_a, doc_id_b) pairs + sketches → pairs with sig_a/sig_b.
+
+    Broadcast path under ``SIG_BROADCAST_MAX_BYTES`` (sorted doc_id +
+    signature arrays shipped once, vectorized searchsorted gather per
+    pair batch — no shuffle); chained hash joins above it."""
+    import ray
+
+    from ..config import partitions_for
+    from .scoring import broadcast_columns
+
+    n_docs = sketches.count()
+    sig_bytes = n_docs * (mc.num_perm * 4 + 64)  # sig + id/overhead
+    if sig_bytes <= SIG_BROADCAST_MAX_BYTES:
+        tbl = broadcast_columns(sketches, ["doc_id", "sig"])
+        if tbl is None:
+            ids_s = np.empty(0, dtype=object)
+            sig_s = np.empty(0, dtype=object)
+        else:
+            ids_raw = np.asarray(tbl.column("doc_id").to_pylist(),
+                                 dtype=object)
+            sig_raw = np.asarray(tbl.column("sig").to_pylist(), dtype=object)
+            order = np.argsort(ids_raw)
+            ids_s, sig_s = ids_raw[order], sig_raw[order]
+        ref = ray.put((ids_s, sig_s))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            ids_b, sig_b = ray.get(ref)
+            ia = np.searchsorted(ids_b, np.asarray(
+                batch.column("doc_id_a").to_pylist(), dtype=object))
+            ib = np.searchsorted(ids_b, np.asarray(
+                batch.column("doc_id_b").to_pylist(), dtype=object))
+            return pa.table({
+                "doc_id_a": batch.column("doc_id_a"),
+                "doc_id_b": batch.column("doc_id_b"),
+                "sig_a": pa.array(list(sig_b[ia]), pa.binary()),
+                "sig_b": pa.array(list(sig_b[ib]), pa.binary()),
+            })
+
+        return pairs.map_batches(attach, batch_format="pyarrow")
+    n_part = partitions_for(n_docs, cfg)
+    side = sketches.select_columns(["doc_id", "sig"])
+    a = side.rename_columns({"doc_id": "doc_id_a", "sig": "sig_a"})
+    b = side.rename_columns({"doc_id": "doc_id_b", "sig": "sig_b"})
+    joined = pairs.join(a, join_type="inner", num_partitions=n_part,
+                        on=("doc_id_a",))
+    return joined.join(b, join_type="inner", num_partitions=n_part,
+                       on=("doc_id_b",)).select_columns(
+        ["doc_id_a", "doc_id_b", "sig_a", "sig_b"])
+
+
+def _sketch_pairs(sketches: rd.Dataset, mc: MatchConfig,
+                  cfg: PipelineConfig, with_sigs: bool = True,
+                  carry_sigs: bool | None = None) -> rd.Dataset:
+    """LSH band buckets → candidate pairs, optionally with signatures.
+
+    Partition-level enumeration (one Python call per hash partition,
+    vectorized block detection) like stages/blocking.py. Signature
+    transport has two equivalence-tested plans:
+
+    - carry (default below ``SIG_CARRY_MAX_DOCS``): the signature rides
+      the band shuffle — one shuffle, wider rows; right when doc count
+      is modest relative to cluster memory;
+    - join (the 10^8+-docs plan, ``carry_sigs=False``): band rows stay
+      NARROW (part, band_key, doc_id), pairs are deduped by a hash
+      aggregate (a pair colliding in k bands is enumerated k times
+      across partitions), and the pair list — orders of magnitude
+      smaller than the band rows — re-acquires signatures via
+      :func:`_attach_sigs`.
+
+    ``with_sigs=False`` (the n-gram verify, which re-joins TEXTS, never
+    signatures) always takes the narrow plan and skips the attach.
     """
     from .blocking import BAND_PARTITIONS, _pairs_for_block
 
     lsh_bands = mc.lsh_bands
     n_bucket = bucket_partitions(cfg, BAND_PARTITIONS)
+    if carry_sigs is None:
+        carry_sigs = with_sigs and sketches.count() <= SIG_CARRY_MAX_DOCS
+    carry = with_sigs and carry_sigs
 
     def emit(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -213,20 +293,22 @@ def _sketch_pairs(sketches: rd.Dataset, mc: MatchConfig,
         mat = np.frombuffer(b"".join(blobs), dtype="<u8").reshape(n, lsh_bands) if n else np.empty((0, lsh_bands))
         keys = mat.reshape(-1).astype(np.uint64)
         idx = np.repeat(np.arange(n), lsh_bands)
-        return pa.table(
-            {
-                "part": pa.array((keys % np.uint64(n_bucket)).astype(np.int64), pa.int64()),
-                "band_key": pa.array(keys, pa.uint64()),
-                "doc_id": batch.column("doc_id").take(pa.array(idx)),
-                "sig": batch.column("sig").take(pa.array(idx)),
-            }
-        )
+        cols = {
+            "part": pa.array((keys % np.uint64(n_bucket)).astype(np.int64), pa.int64()),
+            "band_key": pa.array(keys, pa.uint64()),
+            "doc_id": batch.column("doc_id").take(pa.array(idx)),
+        }
+        if carry:
+            cols["sig"] = batch.column("sig").take(pa.array(idx))
+        return pa.table(cols)
 
     band_rows = sketches.map_batches(emit, batch_format="pyarrow")
-    empty = pa.table({"doc_id_a": pa.array([], pa.string()),
-                      "doc_id_b": pa.array([], pa.string()),
-                      "sig_a": pa.array([], pa.binary()),
-                      "sig_b": pa.array([], pa.binary())})
+    empty_cols = {"doc_id_a": pa.array([], pa.string()),
+                  "doc_id_b": pa.array([], pa.string())}
+    if carry:
+        empty_cols["sig_a"] = pa.array([], pa.binary())
+        empty_cols["sig_b"] = pa.array([], pa.binary())
+    empty = pa.table(empty_cols)
 
     def pairs_in_partition(group: pa.Table) -> pa.Table:
         n = group.num_rows
@@ -242,8 +324,6 @@ def _sketch_pairs(sketches: rd.Dataset, mc: MatchConfig,
         if len(multi) == 0:
             return empty
         ids_all = group.column("doc_id").to_pylist()
-        sigs_all = group.column("sig").to_pylist()
-        sig_of = dict(zip(ids_all, sigs_all))
         out_a: list[str] = []
         out_b: list[str] = []
         out_size: list[int] = []
@@ -252,10 +332,11 @@ def _sketch_pairs(sketches: rd.Dataset, mc: MatchConfig,
             members = order[starts[g]:ends[g]]
             ids = sorted(ids_all[i] for i in members)
             _pairs_for_block(ids, cfg, out_a, out_b, out_size)
-        # within-partition dedup of cross-band duplicates (cheap here
-        # because this partition owns all bands of these keys is NOT
-        # guaranteed — a final global dedup is unnecessary since the
-        # verify step and CC are idempotent on duplicate edges)
+        # within-partition dedup of cross-band duplicates (this partition
+        # owning ALL bands of these keys is NOT guaranteed — a final
+        # global dedup is unnecessary on the carry plan since verify and
+        # CC are idempotent on duplicate edges; the join plan dedups
+        # globally anyway before the attach)
         if not out_a:
             return empty
         keep = []
@@ -265,16 +346,33 @@ def _sketch_pairs(sketches: rd.Dataset, mc: MatchConfig,
                 keep.append(i)
         out_a = [out_a[i] for i in keep]
         out_b = [out_b[i] for i in keep]
-        return pa.table({
+        cols = {
             "doc_id_a": pa.array(out_a, pa.string()),
             "doc_id_b": pa.array(out_b, pa.string()),
-            "sig_a": pa.array([sig_of[i] for i in out_a], pa.binary()),
-            "sig_b": pa.array([sig_of[i] for i in out_b], pa.binary()),
-        })
+        }
+        if carry:
+            sig_of = dict(zip(ids_all, group.column("sig").to_pylist()))
+            cols["sig_a"] = pa.array([sig_of[i] for i in out_a], pa.binary())
+            cols["sig_b"] = pa.array([sig_of[i] for i in out_b], pa.binary())
+        return pa.table(cols)
 
-    return band_rows.groupby("part", num_partitions=n_bucket).map_groups(
+    pairs = band_rows.groupby("part", num_partitions=n_bucket).map_groups(
         pairs_in_partition, batch_format="pyarrow"
     )
+    if carry or not with_sigs:
+        return pairs
+    # join plan: global pair dedup (cross-partition duplicates exist),
+    # then attach signatures onto the deduped pair list
+    from .agg import hash_aggregate
+
+    deduped = hash_aggregate(
+        pairs.map_batches(
+            lambda t: t.append_column(
+                "_n", pa.array(np.ones(t.num_rows, np.int64), pa.int64())),
+            batch_format="pyarrow"),
+        ["doc_id_a", "doc_id_b"], {"_k": ("_n", "count")}, cfg=cfg,
+    ).select_columns(["doc_id_a", "doc_id_b"])
+    return _attach_sigs(deduped, sketches, mc, cfg)
 
 
 def dedup_chunk_size(cfg: PipelineConfig) -> int:
@@ -392,9 +490,9 @@ def ngram_jaccard_dedup(ds: rd.Dataset, text_col: str = "text",
     cfg = cfg or PipelineConfig()
     n_part = effective_partitions(cfg)
     sketches = _doc_sketches(ds, text_col, id_col, mc).materialize()
-    pairs = _sketch_pairs(sketches, mc, cfg).select_columns(
-        ["doc_id_a", "doc_id_b"]
-    ).materialize()
+    # narrow band rows (no signatures — this verify re-joins TEXTS)
+    pairs = _sketch_pairs(sketches, mc, cfg,
+                          with_sigs=False).materialize()
     if pairs.count() == 0:  # joining an empty (schema-less) side breaks
         empty_edges = rd.from_arrow(pa.table({
             "doc_id_a": pa.array([], pa.string()),

@@ -87,7 +87,7 @@ def _match_keys(ej: np.ndarray, hd: np.ndarray, jw: np.ndarray) -> np.ndarray:
     return np.where(out == "", "+SCORE", out)
 
 
-def best_edges(edges):
+def best_edges(edges, cfg: PipelineConfig | None = None):
     """edges(uid_a, uid_b, score, est_jaccard, simhash_hd, title_jw) →
     (uid, best_score, match_key): each member's strongest edge and the
     evidence key assembled from that edge's signals."""
@@ -99,7 +99,8 @@ def best_edges(edges):
     b = edges.select_columns(["uid_b", "uid_a"] + cols).rename_columns(
         {"uid_b": "uid", "uid_a": "peer"}
     ).select_columns(["uid", "peer"] + cols)
-    best = hash_topn(a.union(b), ["uid"], "score", 1, tie_cols=["peer"])
+    best = hash_topn(a.union(b), ["uid"], "score", 1, tie_cols=["peer"],
+                     cfg=cfg)
 
     def fmt(batch: pd.DataFrame) -> pa.Table:
         keys = _match_keys(batch["est_jaccard"].to_numpy(),
@@ -188,7 +189,7 @@ def related_pairs(scored, clusters, cfg: PipelineConfig,
     ).select_columns(["entity_id", "related_id", "score"])
     sym = fwd.select_columns(["entity_id", "related_id", "score"]).union(rev)
     return hash_aggregate(sym, ["entity_id", "related_id"],
-                          {"rel_score": ("score", "max")})
+                          {"rel_score": ("score", "max")}, cfg=cfg)
 
 
 def _offsets(sorted_codes: np.ndarray, n_groups: int) -> pa.Array:
@@ -336,7 +337,7 @@ def entity_report(clusters, profiles, edges, scored=None,
     meta = profiles.select_columns(["uid", "title", "lang"])
     enriched = clusters.join(meta, join_type="inner", num_partitions=n_part,
                              on=("uid",))
-    best = best_edges(edges)
+    best = best_edges(edges, cfg)
     enriched = enriched.join(
         best, join_type="left_outer", num_partitions=n_part, on=("uid",)
     )

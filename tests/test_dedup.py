@@ -250,3 +250,25 @@ def test_dedup_skew_stats_observable(megabucket_docs, ray_session):
         assert row["n_pairs_emitted"] > 0
         assert (row["n_pairs_exact"]
                 == row["n_pairs_emitted"] + row["n_pairs_dropped"])
+
+
+def test_minhash_sig_plans_equivalent(docs, ray_session, monkeypatch):
+    """The carry plan (signatures ride the band shuffle) and the join
+    plan (narrow band rows + global pair dedup + signature attach — the
+    10^8+-docs path) must produce IDENTICAL dedup output; the join
+    plan's above-broadcast-cap hash-join attach is exercised too."""
+    import sqs_entity_resolution_ray.stages.dedup as dd
+
+    ds, df, truth = docs
+    base = dd.minhash_dedup(ds, threshold=0.7, carry_sigs=True).to_pandas()
+    joined = dd.minhash_dedup(ds, threshold=0.7, carry_sigs=False).to_pandas()
+    key = ["doc_id", "rep_id", "cluster_size"]
+    b = base[key].sort_values("doc_id").reset_index(drop=True)
+    j = joined[key].sort_values("doc_id").reset_index(drop=True)
+    assert b.equals(j)
+
+    # force the hash-join attach (broadcast cap 0): still identical
+    monkeypatch.setattr(dd, "SIG_BROADCAST_MAX_BYTES", 0)
+    j2 = dd.minhash_dedup(ds, threshold=0.7, carry_sigs=False).to_pandas()
+    j2 = j2[key].sort_values("doc_id").reset_index(drop=True)
+    assert b.equals(j2)
