@@ -791,7 +791,22 @@ def dedup_skew_stats(docs: rd.Dataset | None = None,
 
     parts = []
     if docs is not None:
-        sketches = _doc_sketches(docs, text_col, id_col, mc)
+        # light sketch: the simhash buckets need only (doc_id, simhash) —
+        # skip the num_perm MinHash permutations (the dominant sketch
+        # cost), but keep the exact same shingle → bottom-k → simhash
+        # math as _doc_sketches so the buckets match simhash_dedup's
+        def light(batch: pa.Table) -> pa.Table:
+            texts = batch.column(text_col).to_pylist()
+            flat, off = shingle_doc_hashes(texts, mc.shingle_k)
+            if mc.max_shingles:
+                flat, off = bottom_k_shingles(flat, off, mc.max_shingles)
+            return pa.table({
+                "doc_id": pc.cast(batch.column(id_col), pa.string()),
+                "simhash": pa.array(simhash_from_shingles(flat, off),
+                                    pa.uint64()),
+            })
+
+        sketches = docs.map_batches(light, batch_format="pyarrow")
         parts.append(summary_for(
             _simhash_buckets(sketches, n_bucket), "simhash"))
     if vectors is not None:
