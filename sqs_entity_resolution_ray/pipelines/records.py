@@ -219,19 +219,45 @@ def emit_blocking_keys(batch: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"block_key": keys, "rec_key": recs})
 
 
-def _pairs_in_blocks(group: pd.DataFrame, max_block: int = 100) -> pd.DataFrame:
-    members = sorted(set(group["rec_key"]))
-    n = len(members)
+def _pairs_in_partition(group: pd.DataFrame,
+                        max_block: int = 100) -> pd.DataFrame:
+    """ONE Python call per hash partition of (block_key, rec_key) rows —
+    not per block key (the per-key map_groups alternative makes one call
+    per distinct identifier value: millions at scale, the measured
+    cliff; see stages/blocking.py). Blocks inside the partition are
+    found with a vectorized argsort; crowd identifiers (e.g. a
+    call-center phone shared by thousands) walk the connectivity-
+    preserving overlap-chunk split instead of a silent truncation, so a
+    genuine crowd still resolves into one component and enumeration
+    stays O(chunk²) per chunk."""
+    from ..stages.blocking import chunk_ranges
+
+    n = len(group)
+    empty = pd.DataFrame({"rec_a": pd.Series(dtype=object),
+                          "rec_b": pd.Series(dtype=object)})
     if n < 2:
-        return pd.DataFrame({"rec_a": [], "rec_b": []})
-    if n > max_block:  # identifier shared by a crowd (e.g. call-center
-        members = members[:max_block]  # phone) — cap with deterministic cut
-        n = max_block
+        return empty
+    keys = group["block_key"].to_numpy()
+    recs = group["rec_key"].to_numpy()
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    bounds = np.flatnonzero(sk[1:] != sk[:-1]) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [n]))
+    multi = np.flatnonzero(ends - starts >= 2)
     a, b = [], []
-    for i in range(n):
-        for j in range(i + 1, n):
-            a.append(members[i])
-            b.append(members[j])
+    for g in multi:
+        members = sorted(set(recs[order[starts[g]:ends[g]]]))
+        m = len(members)
+        if m < 2:
+            continue
+        for cs, ce in chunk_ranges(m, max_block):
+            for i in range(cs, ce):
+                for j in range(i + 1, ce):
+                    a.append(members[i])
+                    b.append(members[j])
+    if not a:
+        return empty
     return pd.DataFrame({"rec_a": a, "rec_b": b})
 
 
@@ -323,9 +349,20 @@ def resolve_records(records: rd.Dataset, cfg: PipelineConfig | None = None):
     ).materialize()
     n_part = partitions_for(features.count(), cfg)
 
-    blocks = features.map_batches(emit_blocking_keys, batch_format="pandas")
-    pairs = blocks.groupby("block_key").map_groups(
-        _pairs_in_blocks, batch_format="pandas"
+    from ..config import bucket_partitions
+    from ..functions.hashing import hash_str_array
+
+    n_bucket = bucket_partitions(cfg, 32)
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = emit_blocking_keys(df)
+        h = hash_str_array(out["block_key"].tolist()) if len(out) else np.empty(0, np.uint64)
+        out["part"] = (h % np.uint64(n_bucket)).astype(np.int64)
+        return out
+
+    blocks = features.map_batches(add_part, batch_format="pandas")
+    pairs = blocks.groupby("part", num_partitions=n_bucket).map_groups(
+        _pairs_in_partition, batch_format="pandas"
     )
     # same pair may emerge from several keys → vectorized hash dedup
     from ..stages.agg import hash_aggregate

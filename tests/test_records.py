@@ -119,3 +119,28 @@ def test_reference_fixture_invariants(ray_session):
     assert same("1009", "1010")
     # distinct people stay distinct
     assert not same("1001", "1009")
+
+
+def test_crowd_identifier_stays_one_entity(ray_session):
+    """A crowd identifier (150 records sharing one phone, pairwise-
+    matching names) must resolve into ONE entity via the overlap-chunk
+    walk — the old deterministic-cut cap left records past the cap
+    pairless (silent split). Enumeration stays bounded: O(chunk²) per
+    chunk, not O(150²) per block... well within max_block=100 chunks."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sqs_entity_resolution_ray.pipelines.records import resolve_records
+
+    rows = []
+    for i in range(150):
+        rows.append({
+            "DATA_SOURCE": "CROWD", "RECORD_ID": f"r{i:04d}",
+            "PRIMARY_NAME_FULL": "Pat Q Example",
+            "DATE_OF_BIRTH": "1/2/1980",
+            "PHONE_NUMBER": "702-555-0000",
+        })
+    art = resolve_records(rd.from_pandas(pd.DataFrame(rows)))
+    clusters = art["clusters"].to_pandas()
+    assert len(clusters) == 150
+    assert clusters["entity_id"].nunique() == 1, "crowd split by the cap"
