@@ -95,6 +95,21 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+def splitmix64_inplace(x: np.ndarray, tmp: np.ndarray) -> None:
+    """``x[:] = splitmix64(x)`` with zero allocations (``tmp`` is
+    caller-provided same-shape uint64 scratch) — the per-permutation
+    MinHash loop otherwise allocates two fresh arrays per permutation."""
+    np.add(x, np.uint64(0x9E3779B97F4A7C15), out=x)
+    np.right_shift(x, np.uint64(30), out=tmp)
+    np.bitwise_xor(x, tmp, out=x)
+    np.multiply(x, np.uint64(0xBF58476D1CE4E5B9), out=x)
+    np.right_shift(x, np.uint64(27), out=tmp)
+    np.bitwise_xor(x, tmp, out=x)
+    np.multiply(x, np.uint64(0x94D049BB133111EB), out=x)
+    np.right_shift(x, np.uint64(31), out=tmp)
+    np.bitwise_xor(x, tmp, out=x)
+
+
 def node_ids_from_strings(values) -> np.ndarray:
     """Deterministic 63-bit node ids (int64, non-negative) for string
     keys. 63 bits: several shuffle backends round-trip through Python

@@ -66,12 +66,14 @@ def extract_text(html: bytes | str | None) -> str:
     s = _ANY_TAG_RE.sub(" ", s)
     s = _html.unescape(s)
     s = unicodedata.normalize("NFC", s)
-    lines = []
-    for line in s.split("\n"):
-        line = _LINE_WS_RE.sub(" ", line).strip()
-        if line:
-            lines.append(line)
-    return "\n".join(lines)
+    # one global collapse pass, then per-line C-level strip: the ws class
+    # contains no \n, so sub() commutes with split("\n") — byte-identical
+    # to the v2 per-line sub loop (pinned by test_extraction goldens) at
+    # a fraction of the regex-invocation cost (~200 calls/doc → 1)
+    s = _LINE_WS_RE.sub(" ", s)
+    return "\n".join(
+        t for line in s.split("\n") if (t := line.strip())
+    )
 
 
 def extract_title(html: bytes | str | None) -> str:

@@ -16,7 +16,8 @@ from __future__ import annotations
 import numpy as np
 
 from .hashing import (hash_str_array, hash_u64_pairs,
-                      hash_u64_pairs_inplace, splitmix64, stable_rng)
+                      hash_u64_pairs_inplace, splitmix64,
+                      splitmix64_inplace, stable_rng)
 from .textnorm import tokenize
 
 # ---- vectorized byte-level tokenizer + rolling hash -----------------------
@@ -87,6 +88,18 @@ def _scratch(name: str, size: int, dtype) -> np.ndarray:
     return buf[:size]
 
 
+def _pow_cached(name: str, base: np.uint64, n: int) -> np.ndarray:
+    """``base^(i+1)`` for i in 0..n-1, served from a per-process cache —
+    the series depends only on POSITION, not data, so recomputing it per
+    chunk (two ``_pow_series`` builds ≈ 4 full passes over the chunk)
+    is pure waste. Callers must treat the slice as read-only."""
+    buf = _SCRATCH.get(name)
+    if buf is None or buf.size < n:
+        buf = _pow_series(base, max(n, _CHUNK_BYTES + 2))
+        _SCRATCH[name] = buf
+    return buf[:n]
+
+
 def _token_hashes_chunk(bufs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     """Token hashes + per-doc counts for one doc-group chunk.
 
@@ -111,11 +124,8 @@ def _token_hashes_chunk(bufs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     # trailing space guarantees mask[-1] is False → ends covers all runs
 
     # prefix machinery: S[i] = sum_{j<i} (a[j]+1) * BINV^(j+1)
-    binv_pows = _scratch("binv", N, np.uint64)
-    _pow_series(_BINV, N, out=binv_pows)                  # BINV^(i+1)
-    b_pows = _scratch("bpow", N + 1, np.uint64)
-    b_pows[0] = np.uint64(1)
-    _pow_series(_B, N, out=b_pows[1:])                    # B^i
+    binv_pows = _pow_cached("binv", _BINV, N)             # BINV^(i+1)
+    b_pows1 = _pow_cached("bpow", _B, N)                  # B^(i+1)
     terms = _scratch("terms", N, np.uint64)
     np.copyto(terms, arr)                                 # u8 → u64 cast
     np.add(terms, np.uint64(1), out=terms)
@@ -123,7 +133,8 @@ def _token_hashes_chunk(bufs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     S = _scratch("S", N + 1, np.uint64)
     S[0] = np.uint64(0)
     np.cumsum(terms, out=S[1:])                           # wraps mod 2^64
-    tok_hash = splitmix64(b_pows[ends] * (S[ends] - S[starts]))
+    # B^e = b_pows1[e-1]; every run end is ≥ 1 by construction
+    tok_hash = splitmix64(b_pows1[ends - 1] * (S[ends] - S[starts]))
 
     # doc ownership of each token: doc d spans bytes
     # [doc_start[d], doc_start[d] + len(bufs[d]))
@@ -193,14 +204,29 @@ def shingle_doc_hashes(
             tmp = _scratch("sh_tmp", m, np.uint64)
             for j in range(1, k):
                 hash_u64_pairs_inplace(acc, th[j : m + j], tmp)
-            pos_doc = np.repeat(np.arange(n, dtype=np.int64), tok_counts)
-            valid = pos_doc[:m] == pos_doc[k - 1 :]
-            sh = acc[valid]
-            sh_doc = pos_doc[:m][valid]
-            counts = np.bincount(sh_doc, minlength=n).astype(np.int64)
+            # window starting at token p is valid iff it stays inside one
+            # doc, i.e. p ∈ [tok_off[d], tok_off[d] + max(t_d-k+1, 0)) —
+            # counts are closed-form and the mask is a delta-cumsum over
+            # DISJOINT runs (for k ≥ 2 a run end precedes the next start
+            # by k-1 ≥ 1, so plain assignment is collision-free). This
+            # replaces the former O(m) pos_doc repeat + compare + bincount.
+            counts = np.maximum(tok_counts - (k - 1), 0)
+            if k == 1:
+                sh = acc.copy()  # every window valid; copy off scratch
+            else:
+                tok_off = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(tok_counts, out=tok_off[1:])
+                nz = np.flatnonzero(counts)
+                delta = _scratch("sh_delta", m + 1, np.int8)
+                delta[: m + 1] = 0
+                delta[tok_off[nz]] = 1
+                delta[tok_off[nz] + counts[nz]] = -1
+                run = _scratch("sh_run", m, np.int8)
+                np.cumsum(delta[:m], dtype=np.int8, out=run)  # runs don't
+                sh = acc[run.view(bool)]  # nest → values stay in {0, 1}
             out_chunks.append(sh)
-            # re-order flat shingles grouped by doc (they already are:
-            # valid positions are in doc order because pos_doc is sorted)
+            # flat shingles stay grouped by doc: runs are taken in
+            # ascending doc order
     # fallback single shingle for docs with zero shingles: left-fold of
     # the doc's (< k) token hashes, seeded so it can't collide with a
     # k-shingle hash family value by construction
@@ -221,6 +247,10 @@ def shingle_doc_hashes(
     offsets = np.zeros(n + 1, dtype=np.int64)
     final_counts = np.where(counts == 0, 1, counts)
     np.cumsum(final_counts, out=offsets[1:])
+    if out_chunks and not len(short):
+        # no short-doc gaps: the valid-window layout IS the final layout
+        # (a fresh array from the boolean index above, safe to return)
+        return out_chunks[0], offsets
     flat = np.empty(offsets[-1], dtype=np.uint64)
     if out_chunks:
         # scatter the doc-grouped shingles into the final layout: docs
@@ -253,14 +283,22 @@ def bottom_k_shingles(
     lens = np.diff(offsets)
     if n == 0 or int(lens.max(initial=0)) <= k:
         return flat, offsets
-    pos_doc = np.repeat(np.arange(n, dtype=np.int64), lens)
-    order = np.lexsort((flat, pos_doc))  # by doc, then ascending value
-    within = np.arange(len(flat)) - np.repeat(offsets[:-1], lens)
-    keep = within < k  # first k of each (sorted) doc segment
-    new_flat = flat[order][keep]
     new_lens = np.minimum(lens, k)
     new_offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(new_lens, out=new_offsets[1:])
+    new_flat = np.empty(new_offsets[-1], dtype=np.uint64)
+    # per-doc C calls (a few µs each over ≤ batch-size docs), NOT per
+    # shingle: partition isolates the k smallest in O(len), then only
+    # those k are sorted. Replaces a global lexsort over every shingle
+    # (two full 8-byte sort passes + three m-sized index temporaries —
+    # the dominant allocation churn of the old path under memory
+    # pressure). Output is byte-identical: each doc's k smallest hash
+    # values in ascending order.
+    for d in range(n):
+        seg = flat[offsets[d]:offsets[d + 1]]
+        if len(seg) > k:
+            seg = np.partition(seg, k - 1)[:k]
+        new_flat[new_offsets[d]:new_offsets[d + 1]] = np.sort(seg)
     return new_flat, new_offsets
 
 
@@ -292,8 +330,11 @@ def minhash_signatures(
         d1 = max(d1, d0 + 1)  # at least one doc per chunk
         seg = flat[offsets[d0]:offsets[d1]]
         seg_starts = (offsets[d0:d1] - offsets[d0])
+        y = _scratch("mh_y", len(seg), np.uint64)
+        tmp = _scratch("mh_tmp", len(seg), np.uint64)
         for i in range(num_perm):
-            y = splitmix64(seg ^ rs[i])
+            np.bitwise_xor(seg, rs[i], out=y)
+            splitmix64_inplace(y, tmp)  # == splitmix64(seg ^ rs[i])
             sig[d0:d1, i] = np.minimum.reduceat(y, seg_starts)
         d0 = d1
     return sig

@@ -30,8 +30,17 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     not expressible as an Arrow kernel); everything around it is Arrow.
     """
     htmls = batch.column("html").to_pylist()
-    texts = [extract_text(h) for h in htmls]
-    titles = [extract_title(h) for h in htmls]
+    # decode each page once; extract_text/extract_title accept str and
+    # produce output identical to the bytes path (both decode with
+    # errors="replace" — pinned by the byte-identical goldens)
+    decoded = [
+        "" if h is None
+        else (h if isinstance(h, str)
+              else bytes(h).decode("utf-8", errors="replace"))
+        for h in htmls
+    ]
+    texts = [extract_text(s) for s in decoded]
+    titles = [extract_title(s) for s in decoded]
     shas = [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts]
     return pa.table(
         {

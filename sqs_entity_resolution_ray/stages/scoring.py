@@ -65,6 +65,31 @@ def broadcast_columns(ds, cols) -> pa.Table | None:
     return pa.concat_tables([t.cast(schema) for t in nonempty])
 
 
+def _sig_matrix(col, n: int) -> np.ndarray:
+    """Fixed-width binary column → ``(n, num_perm)`` little-endian u4
+    matrix, zero-copy: reads the Arrow offsets + data buffers directly
+    instead of materializing ``n`` Python bytes objects and re-joining
+    them (driver-side serial cost in the broadcast prep; per-batch cost
+    in the join-plan scorer). Falls back to the bytes path on any
+    non-standard layout (ragged widths, misaligned slice, null blobs)."""
+    if n == 0:
+        return np.empty((0, 0), dtype="<u4")
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    try:
+        off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+        offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+            arr.offset : arr.offset + n + 1]
+        width = int(offs[1] - offs[0])
+        if width <= 0 or width % 4 or not (np.diff(offs) == width).all():
+            raise ValueError("ragged sig blobs")
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        start = int(offs[0])
+        flat = np.ascontiguousarray(data[start : start + n * width]).view("<u4")
+    except (ValueError, AttributeError, TypeError):
+        flat = np.frombuffer(b"".join(arr.to_pylist()), dtype="<u4")
+    return flat.reshape(n, flat.size // n)
+
+
 def _broadcast_profile_arrays(profiles):
     """profiles → ``ray.put`` ref of uid-sorted lookup arrays.
 
@@ -89,10 +114,8 @@ def _broadcast_profile_arrays(profiles):
     uids_raw = tbl.column("uid").to_numpy()
     order = np.argsort(uids_raw)
     uids = uids_raw[order]
-    sig = tbl.column("sig").combine_chunks()
-    n = len(sig)
-    flat = np.frombuffer(b"".join(sig.to_pylist()), dtype="<u4")
-    sig_arr = flat.reshape(n, flat.size // max(n, 1))[order]
+    n = tbl.num_rows
+    sig_arr = _sig_matrix(tbl.column("sig"), n)[order]
     simhash = tbl.column("simhash").to_numpy().astype(np.uint64)[order]
     n_tokens = tbl.column("n_tokens").to_numpy().astype(np.int32)[order]
     titles = np.asarray(tbl.column("title").to_pylist(), dtype=object)[order]
@@ -259,13 +282,8 @@ class PairScorer:
         n = batch.num_rows
         if n == 0:
             return _EMPTY_SCORED
-        p = mc.num_perm
-        sig_a = np.frombuffer(
-            b"".join(batch.column("sig_a").to_pylist()), dtype="<u4"
-        ).reshape(n, p)
-        sig_b = np.frombuffer(
-            b"".join(batch.column("sig_b").to_pylist()), dtype="<u4"
-        ).reshape(n, p)
+        sig_a = _sig_matrix(batch.column("sig_a"), n)
+        sig_b = _sig_matrix(batch.column("sig_b"), n)
         return _score_arrays(
             mc,
             batch.column("uid_a"), batch.column("uid_b"),
