@@ -144,7 +144,7 @@ def connected_components(
             attach_labels, batch_format="pyarrow"
         )
 
-    return _distributed_cc(nodes, edges, cfg)
+    return _distributed_cc(nodes, edges, cfg, edge_count=edge_count)
 
 
 def _init_labels(batch: pa.Table) -> pa.Table:
@@ -152,7 +152,8 @@ def _init_labels(batch: pa.Table) -> pa.Table:
     return _label_table(urls, node_ids(urls))
 
 
-def _distributed_cc(nodes, edges, cfg: PipelineConfig):
+def _distributed_cc(nodes, edges, cfg: PipelineConfig,
+                    edge_count: int | None = None):
     """Hash-min label propagation to fixpoint via join + groupby-min."""
     from ..config import partitions_for
 
@@ -160,8 +161,19 @@ def _distributed_cc(nodes, edges, cfg: PipelineConfig):
         _init_labels, batch_format="pyarrow"
     ).materialize()
 
-    # both directions once; static for all rounds
-    fwd = edges.select_columns(["url_a", "url_b"])
+    # no edges → every node is its own component; the init labels are
+    # already the fixpoint (and an empty edge dataset's blocks can be
+    # schema-less, which the per-round joins cannot consume)
+    if (edge_count if edge_count is not None else edges.count()) == 0:
+        return labels
+
+    # both directions once; static for all rounds. The identity
+    # map_batches pins the blocks to Arrow: rename_columns/union below
+    # require Arrow blocks, but callers may hand in pandas-backed edge
+    # datasets (e.g. ray.data.from_pandas).
+    fwd = edges.select_columns(["url_a", "url_b"]).map_batches(
+        lambda t: t, batch_format="pyarrow"
+    )
     rev = fwd.rename_columns({"url_a": "url_b", "url_b": "url_a"}).select_columns(
         ["url_a", "url_b"]
     )  # normalize column ORDER so union blocks share one schema
@@ -184,6 +196,13 @@ def _distributed_cc(nodes, edges, cfg: PipelineConfig):
             ["url"], {"label": ("label", "min")},
             num_partitions=n_part,
         ).select_columns(["url", "label"]).materialize()
+        # Ray's hash shuffle synthesizes SCHEMA-LESS empty blocks for
+        # hash partitions that received no keys, and the per-round joins
+        # below cannot consume them. Empty partitions are only possible
+        # when the key count is comparable to n_part (tiny inputs), so
+        # coalesce in that regime; at scale the branch never triggers.
+        if new_labels.count() <= n_part * 16:
+            new_labels = new_labels.repartition(1).materialize()
         # fixpoint check: count rows whose label shrank
         cmp = new_labels.rename_columns({"label": "new_label"}).join(
             labels,
