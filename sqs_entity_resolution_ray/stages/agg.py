@@ -13,6 +13,13 @@ plan with vectorized pandas at both ends:
   3. final: one vectorized pandas groupby per bucket.
 
 Semantics = SQL ``GROUP BY keys`` with sum/count/min/max measures.
+
+Known Ray quirk: when a hash partition receives NO keys (possible only
+when distinct keys ≈ num_partitions, i.e. tiny inputs), Ray's shuffle
+synthesizes a SCHEMA-LESS empty block in the output — harmless to
+map_batches/to_pandas/write consumers, but ``Dataset.join`` cannot
+consume it. Callers that feed an aggregate into a join at tiny scale
+should coalesce first (see ``clustering._distributed_cc``).
 """
 
 from __future__ import annotations
