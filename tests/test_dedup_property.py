@@ -87,6 +87,46 @@ def test_simhash_dedup_exact_duplicates_always_cluster(ray_session, spec):
 
 
 @given(corpus)
+@settings(max_examples=6, deadline=None)
+def test_ngram_dedup_exact_duplicates_always_cluster(ray_session, spec):
+    from sqs_entity_resolution_ray.stages.dedup import ngram_jaccard_dedup
+
+    df, merged = _build(spec)
+    out = ngram_jaccard_dedup(ray.data.from_pandas(df)).to_pandas()
+    assert len(out) == len(df)
+    _check(out, merged)
+
+
+@given(st.lists(st.tuples(st.lists(st.integers(-8, 8), min_size=4,
+                                   max_size=4).filter(lambda v: any(v)),
+                          st.integers(1, 3)),
+                min_size=1, max_size=8))
+@settings(max_examples=6, deadline=None)
+def test_embedding_dedup_exact_duplicates_always_cluster(ray_session, spec):
+    """Identical vectors fall on the same side of EVERY hyperplane, so
+    they share all buckets and verify at cosine exactly 1."""
+    from sqs_entity_resolution_ray.stages.dedup import embedding_dedup
+
+    rows, merged, next_id = [], {}, 0
+    for vec, copies in spec:
+        key = tuple(vec)
+        ids = list(range(next_id, next_id + copies))
+        next_id += copies
+        merged.setdefault(key, []).extend(ids)
+        for i in ids:
+            rows.append({"vec_id": i, "embedding": [float(x) for x in vec]})
+    df = pd.DataFrame(rows)
+    out = embedding_dedup(ray.data.from_pandas(df), id_col="vec_id").to_pandas()
+    assert len(out) == len(df)
+    # embedding_dedup normalizes the id column name to doc_id
+    rep = dict(zip(out["doc_id"].astype(int), out["rep_id"].astype(int)))
+    for ids in merged.values():
+        reps = {rep[i] for i in ids}
+        assert len(reps) == 1, f"group {ids} split across reps {reps}"
+        assert str(list(reps)[0]) <= min(str(i) for i in ids)
+
+
+@given(corpus)
 @settings(max_examples=8, deadline=None)
 def test_exact_dedup_keeps_min_id_per_text(ray_session, spec):
     df, merged = _build(spec)
